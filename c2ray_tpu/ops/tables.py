@@ -1,0 +1,327 @@
+"""SED integration and photoionization/heating rate tables.
+
+Host-side (numpy) construction of the tau-indexed photon-conserving rate
+tables, plus the device-side (jax) lookup/rate-assembly kernels.
+
+Reference mapping:
+  - SED setup + S_star scaling:  radiation_sed_parameters.F90:82-283
+  - band/cross-section setup:    radiation_sizes.f90:36-89
+  - table construction:          radiation_tables.F90:95-565
+  - lookup + rate assembly:      radiation_photoionrates.F90:71-417
+
+The tables are 1D arrays over optical depth (NumTau+1 entries, index 0 =
+tau 0, index i>=1 = 10^(minlogtau + dlogtau*(i-1))), built once at init
+and kept resident in HBM; lookups are vectorized gathers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..config import RunConfig
+from .romberg import scalar_romberg, vector_romberg
+
+
+class RadTables(NamedTuple):
+    """Device-resident rate tables (one frequency band, H-only).
+
+    All arrays have shape (num_tau+1,).  The *thick* tables integrate
+    SED(nu)*exp(-tau*xsec(nu)) over the band (photon rate at optical depth
+    tau); the *thin* tables carry an extra xsec(nu) factor and are the
+    derivative -d(thick)/d(tau), used for optically thin cells.
+    Reference: radiation_tables.F90:361-430 (integrands), :524-565 (tables).
+    """
+
+    photo_thick: jax.Array
+    photo_thin: jax.Array
+    heat_thick: jax.Array
+    heat_thin: jax.Array
+    # X-ray (power-law) source tables; zero-size placeholder when unused.
+    xray_photo_thick: jax.Array
+    xray_photo_thin: jax.Array
+    xray_heat_thick: jax.Array
+    xray_heat_thin: jax.Array
+
+
+class SEDProperties(NamedTuple):
+    """Host-side diagnostics of the scaled SED (spec_diag).
+
+    Reference: radiation_sed_parameters.F90:172-224.
+    """
+
+    s_star: float
+    r_star: float
+    l_star: float
+    ionizing_luminosity: float
+    s_scaling: float
+    t_eff: float
+    h_over_kt: float
+
+
+# ---------------------------------------------------------------------------
+# host-side construction
+# ---------------------------------------------------------------------------
+
+def _bb_sed_photon(freq: np.ndarray, h_over_kt: float, r_star2: float) -> np.ndarray:
+    """Black-body SED in photon-number sense (per Hz per s).
+
+    BB_SED = 4 pi R*^2 (2 pi/c^2) nu^2 / (exp(h nu / kT) - 1), with overflow
+    guard. Reference: radiation_tables.F90:434-452.
+    """
+    x = freq * h_over_kt
+    safe = x < 700.0
+    with np.errstate(over="ignore"):
+        denom = np.where(safe, np.expm1(np.where(safe, x, 1.0)), np.inf)
+    out = 4.0 * np.pi * r_star2 * const.TWO_PI_OVER_C_SQUARE * freq * freq / denom
+    return np.where(safe, out, 0.0)
+
+
+def _pl_sed_photon(freq: np.ndarray, pl_index: float, s_scaling: float) -> np.ndarray:
+    """Power-law SED in photon-number sense. radiation_tables.F90:456-467."""
+    return s_scaling * freq ** (-pl_index)
+
+
+def integrate_sed(cfg: RunConfig, freq_min: float, freq_max: float,
+                  sourcetype: str, sedtype: str,
+                  r_star: float = const.R_SOLAR, s_scaling: float = 1.0) -> float:
+    """Romberg-integrate the (unscaled) SED over [freq_min, freq_max].
+
+    sedtype 'S' = photon sense, 'L' = energy sense.
+    Reference: radiation_sed_parameters.F90:226-283.
+    """
+    n = cfg.num_freq
+    freq = np.linspace(freq_min, freq_max, n + 1)
+    h = (freq_max - freq_min) / n
+    if sourcetype == "B":
+        t_eff = float(np.clip(cfg.sed.bb_teff, 2000.0, 1e6))
+        h_over_kt = const.HPLANCK / (const.K_B * t_eff)
+        integrand = _bb_sed_photon(freq, h_over_kt, r_star * r_star)
+    elif sourcetype == "P":
+        integrand = _pl_sed_photon(freq, cfg.sed.pl_index, s_scaling)
+    else:
+        raise ValueError(f"unknown sourcetype {sourcetype!r}")
+    if sedtype == "L":
+        integrand = const.HPLANCK * freq * integrand
+    return scalar_romberg(integrand, h)
+
+
+def sed_properties(cfg: RunConfig) -> SEDProperties:
+    """Scale the SED so its band-integrated photon rate equals S_star.
+
+    Black body: scale R_star (spec_diag, radiation_sed_parameters.F90:178-202).
+    Power law: scale the flux normalization (S_scaling, :204-222).
+    """
+    sed = cfg.sed
+    if sed.stellar_type == "B":
+        t_eff = float(np.clip(sed.bb_teff, 2000.0, 1e6))
+        h_over_kt = const.HPLANCK / (const.K_B * t_eff)
+        r_star = const.R_SOLAR
+        l_star = 4.0 * np.pi * r_star**2 * const.SIGMA_SB * t_eff**4
+        s_unscaled = integrate_sed(cfg, sed.bb_min_freq, sed.bb_max_freq, "B", "S",
+                                   r_star=r_star)
+        s_scaling = sed.s_star / s_unscaled
+        r_star = np.sqrt(s_scaling) * r_star
+        l_star = s_scaling * l_star
+        lion = integrate_sed(cfg, sed.bb_min_freq, sed.bb_max_freq, "B", "L",
+                             r_star=r_star)
+        return SEDProperties(sed.s_star, r_star, l_star, lion, s_scaling,
+                             t_eff, h_over_kt)
+    else:
+        s_unscaled = integrate_sed(cfg, sed.pl_min_freq, sed.pl_max_freq, "P", "S",
+                                   s_scaling=1.0)
+        s_scaling = sed.pl_s_star / s_unscaled
+        lion = integrate_sed(cfg, sed.pl_min_freq, sed.pl_max_freq, "P", "L",
+                             s_scaling=s_scaling)
+        return SEDProperties(sed.pl_s_star, 0.0, 0.0, lion, s_scaling, 0.0, 0.0)
+
+
+def _tau_axis(cfg: RunConfig) -> np.ndarray:
+    """Optical-depth sample points: tau(0)=0, tau(i)=10^(minlogtau+dlogtau*(i-1)).
+
+    Reference: radiation_tables.F90:141-146.
+    """
+    dlogtau = (cfg.maxlogtau - cfg.minlogtau) / cfg.num_tau
+    tau = 10.0 ** (cfg.minlogtau + dlogtau * (np.arange(cfg.num_tau + 1) - 1.0))
+    tau[0] = 0.0
+    return tau
+
+
+def _band_tables(cfg: RunConfig, sed_vals: np.ndarray, freq: np.ndarray,
+                 h: float, build_heat: bool):
+    """Integrate thick/thin photo (and heat) integrands over frequency for
+    every tau.  Reference: radiation_tables.F90:361-430,471-509,524-565."""
+    tau = _tau_axis(cfg)
+    freq_min = freq[0]
+    if cfg.grey:
+        xsec = np.ones_like(freq)
+    else:
+        xsec = (freq / freq_min) ** (-cfg.pl_index_cross_section_hi)
+    # integrand(freq, tau); guard exp underflow/overflow at arg 700
+    arg = tau[None, :] * xsec[:, None]
+    safe = arg < 700.0
+    att = np.where(safe, np.exp(-np.where(safe, arg, 0.0)), 0.0)
+    thick_i = sed_vals[:, None] * att
+    thin_i = thick_i * xsec[:, None]
+    photo_thick = vector_romberg(thick_i, h, axis=0)
+    photo_thin = vector_romberg(thin_i, h, axis=0)
+    if build_heat:
+        hw = const.HPLANCK * (freq - const.ION_FREQ_HI)
+        heat_thick = vector_romberg(hw[:, None] * thick_i, h, axis=0)
+        heat_thin = vector_romberg(hw[:, None] * thin_i, h, axis=0)
+    else:
+        heat_thick = np.zeros_like(photo_thick)
+        heat_thin = np.zeros_like(photo_thin)
+    return photo_thick, photo_thin, heat_thick, heat_thin
+
+
+def build_rad_tables(cfg: RunConfig) -> RadTables:
+    """rad_ini equivalent: build all rate tables (host) and ship to device.
+
+    Reference: radiation_tables.F90:95-126 (rad_ini), :130-236
+    (spec_integration).
+    """
+    props = sed_properties(cfg)
+    sed = cfg.sed
+    # Band 1 frequency partition (radiation_sizes.f90:55-66)
+    freq_min = max(const.ION_FREQ_HI, sed.min_freq)
+    freq_max = sed.max_freq
+    n = cfg.num_freq
+    freq = np.linspace(freq_min, freq_max, n + 1)
+    h = (freq_max - freq_min) / n
+
+    if sed.stellar_type == "B":
+        sed_vals = _bb_sed_photon(freq, props.h_over_kt, props.r_star**2)
+    else:
+        sed_vals = _pl_sed_photon(freq, sed.pl_index, props.s_scaling)
+
+    build_heat = not cfg.isothermal
+    pt, pn, ht, hn = _band_tables(cfg, sed_vals, freq, h, build_heat)
+
+    if sed.use_xray_sed:
+        xs_unscaled = integrate_sed(cfg, sed.pl_min_freq, sed.pl_max_freq, "P", "S")
+        x_scaling = sed.pl_s_star / xs_unscaled
+        xfreq = np.linspace(max(const.ION_FREQ_HI, sed.pl_min_freq),
+                            sed.pl_max_freq, n + 1)
+        xh = (xfreq[-1] - xfreq[0]) / n
+        xsed = _pl_sed_photon(xfreq, sed.pl_index, x_scaling)
+        xpt, xpn, xht, xhn = _band_tables(cfg, xsed, xfreq, xh, build_heat)
+    else:
+        z = np.zeros_like(pt)
+        xpt, xpn, xht, xhn = z, z, z, z
+
+    # Normalize all tables by S_star: photon rates on device are carried in
+    # units of S_star photons/s so that float32 never sees ~1e48-1e57 cgs
+    # magnitudes (a TPU-native design choice; the reference computes in
+    # physical cgs with float64 throughout).  Physical rates are recovered
+    # with host-side f64 scale factors (see sweep.py rate_scale).
+    s = props.s_star
+    dt = cfg.np_dtype
+    as_dev = lambda a: jnp.asarray((a / s).astype(dt))
+    return RadTables(as_dev(pt), as_dev(pn), as_dev(ht), as_dev(hn),
+                     as_dev(xpt), as_dev(xpn), as_dev(xht), as_dev(xhn))
+
+
+# ---------------------------------------------------------------------------
+# device-side lookup and rate assembly
+# ---------------------------------------------------------------------------
+
+def table_lookup(table: jax.Array, tau: jax.Array, cfg: RunConfig) -> jax.Array:
+    """Linear interpolation in log10(tau) table position.
+
+    Reference: radiation_photoionrates.F90:184-228 (set_tau_table_positions
+    + read_table).  Matches the reference's exact clamping: tau floors at
+    1e-20 so tau=0 reads position 1 (whose value ~ the tau=0 entry).
+    """
+    dtype = table.dtype
+    dlogtau = (cfg.maxlogtau - cfg.minlogtau) / cfg.num_tau
+    logtau = jnp.log10(jnp.maximum(tau, jnp.asarray(1.0e-20, dtype)))
+    odpos = jnp.clip(1.0 + (logtau - cfg.minlogtau) / dlogtau, 0.0, float(cfg.num_tau))
+    ipos = jnp.floor(odpos).astype(jnp.int32)
+    resid = odpos - ipos.astype(dtype)
+    ipos1 = jnp.minimum(cfg.num_tau, ipos + 1)
+    t0 = jnp.take(table, ipos)
+    t1 = jnp.take(table, ipos1)
+    return t0 + (t1 - t0) * resid
+
+
+class PhotoRates(NamedTuple):
+    """Vectorized photrates (radiation_photoionrates.F90:34-44), H-only.
+
+    Units: photon rates are in units of S_star photons/s (see
+    build_rad_tables); volumes are in cell-volume units.  Physical per-atom
+    rates are recovered by the caller via a single host-computed f64 scale.
+    """
+
+    photo_cell: jax.Array   # cell photoionization rate / vol_ph  [S_star/cellvol]
+    photo_in: jax.Array     # photon rate entering the cell        [S_star/s]
+    photo_out: jax.Array    # photon rate leaving the cell         [S_star/s]
+    heat: jax.Array         # heating rate of the cell / vol_ph
+
+
+def photoion_rates(cfg: RunConfig, tables: RadTables,
+                   coldens_in: jax.Array, coldens_out: jax.Array,
+                   vol_ph: jax.Array, nflux: jax.Array,
+                   nflux_xray: Optional[jax.Array] = None) -> PhotoRates:
+    """Photon-conserving photoionization + heating rates of a cell.
+
+    The cell rate is NFlux * (thick(tau_in) - thick(tau_out)) / vol_ph with
+    an optically-thin branch NFlux * dtau * thin(tau) / vol_ph when
+    |dtau| < tau_photo_limit.  Reference: radiation_photoionrates.F90:71-179
+    (photoion_rates), :233-317 (photo_lookuptable), :323-417
+    (heat_lookuptable).  Fully vectorized over cell arrays.
+
+    float32 adaptation: the thick-table difference cancels catastrophically
+    for small dtau in f32, so the thin-branch threshold is raised to ~3e-3
+    and the thin rate is evaluated at the midpoint optical depth
+    (second-order accurate), preserving photon conservation to ~dtau^2/24.
+    In float64 the reference's exact thresholds/evaluation points are used.
+    """
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    tau_in = coldens_in * sigma
+    tau_out = coldens_out * sigma
+    dtau = tau_out - tau_in
+
+    f32 = jnp.result_type(coldens_in) == jnp.float32
+    if f32:
+        photo_limit = max(cfg.tau_photo_limit, 3e-3)
+        heat_limit = max(cfg.tau_heat_limit, 3e-3)
+        tau_thin = 0.5 * (tau_in + tau_out)   # midpoint evaluation
+    else:
+        photo_limit = cfg.tau_photo_limit
+        heat_limit = cfg.tau_heat_limit
+        tau_thin = tau_in                     # reference endpoint evaluation
+
+    def one_source(photo_thick, photo_thin, heat_thick, heat_thin, nf):
+        phi_in = nf * table_lookup(photo_thick, tau_in, cfg)
+        thick_out = nf * table_lookup(photo_thick, tau_out, cfg)
+        phi_cell_thick = phi_in - thick_out
+        phi_cell_thin = nf * dtau * table_lookup(photo_thin, tau_thin, cfg)
+        use_thick = jnp.abs(dtau) > photo_limit
+        phi_cell = jnp.where(use_thick, phi_cell_thick, phi_cell_thin)
+        phi_out = phi_in - phi_cell
+        photo_cell = phi_cell / vol_ph
+        if cfg.isothermal:
+            heat = jnp.zeros_like(photo_cell)
+        else:
+            h_in = nf * table_lookup(heat_thick, tau_in, cfg)
+            h_out = nf * table_lookup(heat_thick, tau_out, cfg)
+            h_thick = (h_in - h_out) / vol_ph
+            h_thin = nf * dtau * table_lookup(heat_thin, tau_thin, cfg) / vol_ph
+            use_thick_h = jnp.abs(dtau) > heat_limit
+            heat = jnp.where(use_thick_h, h_thick, h_thin)
+        return photo_cell, phi_in, phi_out, heat
+
+    pc, pi, po, he = one_source(tables.photo_thick, tables.photo_thin,
+                                tables.heat_thick, tables.heat_thin, nflux)
+    if cfg.sed.use_xray_sed and nflux_xray is not None:
+        pc2, pi2, po2, he2 = one_source(
+            tables.xray_photo_thick, tables.xray_photo_thin,
+            tables.xray_heat_thick, tables.xray_heat_thin, nflux_xray)
+        pc, pi, po, he = pc + pc2, pi + pi2, po + po2, he + he2
+    return PhotoRates(pc, pi, po, he)

@@ -1,0 +1,204 @@
+"""evolve3D: the global convergence iteration over sources + chemistry.
+
+Re-implementation of /root/reference/evolve.F90:83-281.  One call evolves
+the whole grid over a timestep dt by iterating
+  [zero rates -> sweep all sources -> (psum) -> global chemistry pass]
+until the grid converges.  The host drives the (typically 2-10 step)
+convergence loop and reads back only a few scalars per iteration; all
+heavy work is in two jitted device programs (the source sweep scan and
+the vectorized chemistry pass).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as const
+from .config import RunConfig
+from .ops.chemistry import global_chemistry
+from .ops.photonstats import GridCounts, PhotonStatistics, grid_counts
+from .ops.sweep import SweepScalars, raytrace_all_sources
+from .ops.tables import RadTables
+from .ops.thermal import CoolingTable
+from .state import GridState
+
+
+class EvolveInfo(NamedTuple):
+    niter: int
+    conv_flag: int
+    converged: bool
+    mean_xh1: float
+    photon_loss: float       # S_star units
+    lls_loss: float          # S_star units
+    per_source_loss: np.ndarray
+    photon_stats: dict
+
+
+class Evolve3D:
+    """Compiled evolve3D solver for a fixed config + tables.
+
+    `raytracer` may be overridden (parallel/source_shard.py injects a
+    shard_map-wrapped version); it must have the signature of
+    ops.sweep.raytrace_all_sources.
+    """
+
+    def __init__(self, cfg: RunConfig, tables: RadTables,
+                 cool: Optional[CoolingTable] = None,
+                 raytracer: Optional[Callable] = None):
+        self.cfg = cfg
+        self.tables = tables
+        self.cool = cool
+        rt = raytracer if raytracer is not None else raytrace_all_sources
+
+        @jax.jit
+        def _sweep(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
+            return rt(cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
+                      lls_grid=lls_grid)
+
+        @jax.jit
+        def _chem(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
+                  t_cur, t_av, clumping, cosmo_cool_coeff):
+            return global_chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
+                                    phih, phiheat, t_cur, t_av, clumping,
+                                    cool, cosmo_cool_coeff)
+
+        @jax.jit
+        def _counts(ndens, xh1, t_av, clumping):
+            return grid_counts(cfg, ndens, xh1, t_av, clumping)
+
+        @jax.jit
+        def _sum(x):
+            return jnp.sum(x)
+
+        self._sweep = _sweep
+        self._chem = _chem
+        self._counts = _counts
+        self._sum = _sum
+
+    # ------------------------------------------------------------------
+    def evolve3d(self, state: GridState, ndens_proper: jax.Array,
+                 dr_proper: float, srcpos, nflux, dt: float,
+                 clumping=1.0, lls_coldens: float = 0.0,
+                 rmax_cells: float = 0.0, lls_grid=None,
+                 cosmo_cool_coeff: float = 0.0,
+                 stats: Optional[PhotonStatistics] = None,
+                 verbose: bool = False):
+        """One global timestep (evolve3D, evolve.F90:83-281)."""
+        cfg = self.cfg
+        n_cells = cfg.n_cells
+        dtype = cfg.jnp_dtype
+        vol = float(dr_proper) ** 3
+
+        srcpos = jnp.asarray(srcpos, jnp.int32)
+        nflux = jnp.asarray(nflux, dtype)
+        num_src = int(srcpos.shape[0])
+
+        sc = SweepScalars(
+            dr=jnp.asarray(dr_proper, dtype),
+            rate_scale=jnp.asarray(cfg.sed.s_star / vol, dtype),
+            lls_coldens=jnp.asarray(lls_coldens, dtype),
+            rmax2_cells=jnp.asarray(rmax_cells * rmax_cells, dtype),
+        )
+        clump = (jnp.asarray(clumping, dtype)
+                 if not isinstance(clumping, jax.Array) else clumping)
+
+        # photon statistics: initial state (evolve.F90:136)
+        if stats is not None:
+            c0 = self._counts(ndens_proper, state.xh1, state.temper_av, clump)
+            stats.state_before(c0, vol)
+
+        # initialize iterates to the step-initial state (evolve.F90:140-153)
+        xh1 = state.xh1
+        xh_av = xh1
+        xh_int = xh1
+        t_cur, t_av, t_int = (state.temper_current, state.temper_av,
+                              state.temper_intermed)
+        niter = 0
+        conv_flag = n_cells
+        prev_sum1 = 2.0 * n_cells
+        prev_sum0 = 2.0 * n_cells
+
+        # conv_criterion (evolve.F90:162-163)
+        conv_criterion = min(int(cfg.convergence_fraction * n_cells),
+                             (num_src - 1) // 3)
+
+        photon_loss = 0.0
+        lls_loss = 0.0
+        per_src_loss = np.zeros(num_src)
+        converged = False
+        last_report = {}
+
+        while True:
+            # convergence tests (evolve.F90:179-233)
+            sum1 = float(self._sum(xh_int))
+            sum0 = float(n_cells) - sum1
+            rel1 = abs(sum1 - prev_sum1) / sum1 if sum1 > 0.0 else 1.0
+            rel0 = abs(sum0 - prev_sum0) / sum0 if sum0 > 0.0 else 1.0
+            if verbose:
+                print(f"  iter {niter}: conv_flag={conv_flag} "
+                      f"rel_change=({rel1:.2e},{rel0:.2e}) mean_x={sum1/n_cells:.4e}")
+            if conv_flag < conv_criterion or (
+                    rel1 < cfg.convergence_fraction
+                    and rel0 < cfg.convergence_fraction):
+                xh1 = xh_int
+                # set_final_temperature_point (temperature_module.F90:173-183)
+                if not cfg.isothermal:
+                    t_cur = t_int
+                converged = True
+                break
+            if niter > cfg.max_global_iterations:
+                break
+
+            prev_sum1, prev_sum0 = sum1, sum0
+            niter += 1
+
+            # pass over all sources (rates implicitly zeroed by functional
+            # accumulation; evolve.F90:243-246)
+            phih, phiheat, ploss, llsl, psrc = self._sweep(
+                ndens_proper, xh_av, srcpos, nflux, sc, lls_grid)
+            photon_loss = float(ploss)
+            lls_loss = float(llsl)
+            per_src_loss = np.asarray(psrc)
+
+            # global chemistry pass (evolve.F90:269, global_pass :499-573)
+            chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
+                              xh_int, xh_av, phih,
+                              phiheat if not cfg.isothermal else None,
+                              t_cur, t_av, clump,
+                              jnp.asarray(cosmo_cool_coeff, dtype))
+            xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
+            if not cfg.isothermal:
+                t_int, t_av = chem.temper_intermed, chem.temper_av
+            conv_flag = int(chem.conv_flag)
+
+            # per-iteration conservation report (global_pass :570-571)
+            if stats is not None:
+                ca = self._counts(ndens_proper, xh_int, t_av, clump)
+                cr = self._counts(ndens_proper, xh_av, t_av, clump)
+                stats.calculate(ca, cr, vol, dt)
+                last_report = stats.report(dt, photon_loss, lls_loss,
+                                           float(np.sum(np.asarray(nflux))))
+
+        # end-of-step statistics (evolve.F90:277-279)
+        if stats is not None:
+            ca = self._counts(ndens_proper, xh1, t_av, clump)
+            cr = self._counts(ndens_proper, xh_av, t_av, clump)
+            stats.calculate(ca, cr, vol, dt)
+            total_flux = float(np.sum(np.asarray(nflux)))
+            last_report = stats.report(dt, photon_loss, lls_loss, total_flux)
+            stats.update_grandtotal(dt, total_flux)
+
+        new_state = GridState(xh1=xh1, temper_current=t_cur,
+                              temper_av=t_av, temper_intermed=t_int)
+        info = EvolveInfo(
+            niter=niter, conv_flag=conv_flag, converged=converged,
+            mean_xh1=float(self._sum(xh1)) / n_cells,
+            photon_loss=photon_loss, lls_loss=lls_loss,
+            per_source_loss=per_src_loss, photon_stats=last_report)
+        return new_state, info

@@ -1,0 +1,102 @@
+"""Grid state containers and problem initialization.
+
+Replaces the reference's mutable module-level field arrays
+(density_module.F90 ndens, ionfractions_module.F90 xh,
+temperature_module.F90 temperature_grid, evolve_data.F90 work grids)
+with an immutable pytree threaded through the solver.
+
+Design choice: the *comoving* density and cell size are the invariant
+base state; proper (physical) values are derived per step from the
+current redshift, which reproduces the reference's in-place incremental
+rescaling (cosmology.F90:161-193 cosmo_evol) without mutation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as const
+from .config import RunConfig
+
+
+class GridState(NamedTuple):
+    """Prognostic fields (all (N,N,N) at cfg dtype).
+
+    xh1:      H ionized fraction at the last completed step (xh).
+    temper_*: temperature states {current, average, intermed}
+              (temperature_module.F90:21-35); None when isothermal.
+    """
+
+    xh1: jax.Array
+    temper_current: Optional[jax.Array] = None
+    temper_av: Optional[jax.Array] = None
+    temper_intermed: Optional[jax.Array] = None
+
+
+class MaterialState(NamedTuple):
+    """Non-prognostic material fields.
+
+    ndens_comoving: comoving H(+He) number density [cm^-3 comoving]
+                    (density_module.F90:22 - single precision there too).
+    clumping_grid:  per-cell clumping factors (None => scalar model).
+    lls_grid:       per-cell LLS column densities (None => scalar model).
+    """
+
+    ndens_comoving: jax.Array
+    clumping_grid: Optional[jax.Array] = None
+    lls_grid: Optional[jax.Array] = None
+
+
+def initial_state(cfg: RunConfig) -> GridState:
+    """Initial ionization (RECFAST 2e-4, ionfractions_module.F90:41-50)
+    and temperature (initial_temperature, material.F90)."""
+    n = cfg.mesh
+    dt = cfg.jnp_dtype
+    xh1 = jnp.full(n, cfg.initial_xh, dt)
+    if cfg.isothermal:
+        return GridState(xh1=xh1)
+    t = jnp.full(n, cfg.initial_temperature, dt)
+    return GridState(xh1=xh1, temper_current=t, temper_av=t, temper_intermed=t)
+
+
+def mean_baryon_density(cfg: RunConfig, redshift: float) -> float:
+    """Proper mean (H+He) number density at `redshift`.
+
+    avg_dens = rho_crit_0 * Omega_B / (mu m_p) * (1+z)^3
+    (density_module.F90:129-147, set_constant_average_density).
+    """
+    c = cfg.cosmo
+    return c.rho_crit_0 * c.omega_b / (const.MU * const.M_P) * (1.0 + redshift) ** 3
+
+
+def uniform_material(cfg: RunConfig) -> MaterialState:
+    """Test-problem material: uniform density at the comoving mean.
+
+    The comoving value is the z=0 mean; proper density at z follows by
+    (1+z)^3, matching set_constant_average_density for every slice.
+    """
+    c = cfg.cosmo
+    n0 = c.rho_crit_0 * c.omega_b / (const.MU * const.M_P)
+    nd = jnp.full(cfg.mesh, n0, cfg.jnp_dtype)
+    return MaterialState(ndens_comoving=nd)
+
+
+def proper_fields(cfg: RunConfig, mat: MaterialState, redshift: float):
+    """Derive (ndens_proper, dr_proper, vol_proper) at a redshift.
+
+    For non-cosmological runs the comoving values are used as-is
+    (cosmological flag, c2ray_parameters.f90:105).
+    """
+    if cfg.cosmological:
+        zp1 = 1.0 + redshift
+    else:
+        zp1 = 1.0
+    ndens = mat.ndens_comoving * cfg.np_dtype(zp1**3)
+    dr = cfg.dr_comoving / zp1
+    vol = dr**3
+    return ndens, dr, vol

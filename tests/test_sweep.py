@@ -1,0 +1,212 @@
+"""Wavefront sweep engine tests: geometry, symmetry, photon conservation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from c2ray_tpu import constants as const
+from c2ray_tpu.config import test_problem_config as make_config
+from c2ray_tpu.ops.sweep import (SweepScalars, raytrace_all_sources,
+                                 sweep_single_source)
+from c2ray_tpu.ops.tables import build_rad_tables, table_lookup
+
+
+def make_setup(n=16, x1=0.3, nh=2e-5, grey=False, **kw):
+    """Uniform medium with moderate per-cell optical depth."""
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                              grey=grey, **kw)
+    tabs = build_rad_tables(cfg)
+    dr = 3.0e22  # small cells -> per-cell tau ~ nh*(1-x1)*dr*sigma ~ 2.6
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    nd = jnp.full((n, n, n), nh)
+    xa = jnp.full((n, n, n), x1)
+    return cfg, tabs, sc, nd, xa, dr
+
+
+class TestGeometry:
+    def test_axis_columns_exact(self):
+        """Along grid axes the interpolation is trivial: outgoing column at
+        the k-th axis cell is (k - 1/2) * x0 * nH * dr."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        cdo = np.asarray(res.coldensh_out)
+        c = n // 2
+        x0col = (1.0 - 0.3) * 2e-5 * dr
+        for k in range(0, 6):
+            expect = (k + 0.5) * x0col
+            for cell in [cdo[c + k, c, c], cdo[c - k, c, c], cdo[c, c + k, c],
+                         cdo[c, c - k, c], cdo[c, c, c + k], cdo[c, c, c - k]]:
+                assert cell == pytest.approx(expect, rel=1e-12), k
+
+    def test_diagonal_path_lengths(self):
+        """Body-diagonal cells have path sqrt(3) per cell; with the source
+        cell contributing dr/2 and shell-1 diagonal correction sqrt(3)."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        cdo = np.asarray(res.coldensh_out)
+        c = n // 2
+        x0col = 0.7 * 2e-5 * dr
+        # shell-1 diagonal: incoming = sqrt(3)*source-cell half column,
+        # outgoing adds its own sqrt(3) path
+        expect1 = np.sqrt(3.0) * 0.5 * x0col + np.sqrt(3.0) * x0col
+        assert cdo[c + 1, c + 1, c + 1] == pytest.approx(expect1, rel=1e-12)
+        # deep diagonal cells approach the exact line integral
+        # (d - 1/2)*sqrt(3)*x0col within the scheme's interpolation error
+        for d in [4, 6]:
+            exact = (d - 0.5) * np.sqrt(3.0) * x0col + np.sqrt(3.0) * x0col
+            assert cdo[c + d, c + d, c + d] == pytest.approx(exact, rel=0.05)
+
+    def test_column_vs_line_integral(self):
+        """Interpolated columns track the direct source->cell line integral
+        of a uniform medium within the short-characteristics accuracy."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        cdo = np.asarray(res.coldensh_out)
+        c = n // 2
+        x0col = 0.7 * 2e-5 * dr
+        rng = np.random.default_rng(0)
+        for _ in range(30):
+            off = rng.integers(-6, 7, size=3)
+            if np.all(off == 0):
+                continue
+            dist = np.linalg.norm(off)
+            exact = dist * x0col  # line integral to the cell center (+past)
+            got = cdo[c + off[0], c + off[1], c + off[2]]
+            # outgoing column corresponds to roughly (dist + path/2); accept
+            # the known ~10-15% interpolation spread of the scheme
+            ratio = got / exact
+            assert 0.8 < ratio < 1.35, (off, ratio)
+
+    def test_octant_symmetry(self):
+        """A centered source in a uniform medium must give rates symmetric
+        under the 48 cube symmetries (the OpenMP sector decomposition of the
+        reference is exact, evolve_source.F90:141-187)."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        phih = np.asarray(res.phih)
+        c = n // 2
+        # compare mirrored/rotated probes (use cells unaffected by the
+        # even-grid asymmetry: |offset| < n/2 on the positive side)
+        probes = [(1, 2, 3), (3, 1, 2), (2, 3, 1)]
+        vals = []
+        for p in probes:
+            for sx in (1, -1):
+                for sy in (1, -1):
+                    for sz in (1, -1):
+                        vals.append(phih[c + sx * p[0], c + sy * p[1],
+                                         c + sz * p[2]])
+        vals = np.asarray(vals)
+        np.testing.assert_allclose(vals, vals[0], rtol=1e-10)
+
+
+class TestConservation:
+    def test_sweep_photon_conservation_spread(self):
+        """Absorbed + escaped photons equal emitted photons.
+
+        The method's shell-volume discretization (vol_ph = 4 pi r^2 path,
+        evolve_point.F90:177) covers only ~94% of solid angle at shell 1,
+        converging to 1 at large radii - so we test with a low per-cell
+        optical depth where absorption is spread over many shells (grey
+        opacity, expect ~1% closure), plus a loose bound for the compact
+        case below."""
+        n = 32
+        cfg, tabs, sc, nd, xa, dr = make_setup(n, x1=0.3, nh=2e-6, grey=True)
+        # transparent inner sphere (r < 8 cells), absorbing beyond: all
+        # absorption happens where shell coverage >= 99.8%
+        c = n // 2
+        o = np.arange(n) - c
+        OI, OJ, OK = np.meshgrid(o, o, o, indexing="ij")
+        inner = np.maximum(np.maximum(abs(OI), abs(OJ)), abs(OK)) < 8
+        x1g = np.where(inner, 1.0 - 1e-9, 0.3)
+        xa = jnp.asarray(x1g)
+        nflux = 1.0
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(nflux), sc)
+        phih = np.asarray(res.phih)
+        x0g = 1.0 - x1g
+        absorbed = np.sum(phih * x0g * 2e-6) * dr**3 / cfg.sed.s_star
+        escaped = float(res.photon_loss)
+        emitted = nflux * float(tabs.photo_thick[1])
+        assert absorbed + escaped == pytest.approx(emitted, rel=1.0e-2)
+
+    def test_sweep_photon_conservation_compact(self):
+        """Optically thick case: absorption concentrated near the source,
+        where the shell discretization loses up to ~10% (as in the
+        reference; compensated in the solver because those cells
+        saturate)."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        phih = np.asarray(res.phih)
+        absorbed = np.sum(phih * 0.7 * 2e-5) * dr**3 / cfg.sed.s_star
+        total = absorbed + float(res.photon_loss)
+        assert 0.85 < total < 1.02
+
+    def test_loss_dominates_when_transparent(self):
+        """An almost fully ionized medium lets nearly everything escape."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n, x1=1.0 - 1e-8, nh=1e-6)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        assert float(res.photon_loss) == pytest.approx(1.0, rel=1e-2)
+
+    def test_max_shell_limits_radius(self):
+        """Static sweep radius caps work (subbox analogue)."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc,
+                                  max_shell=3)
+        phih = np.asarray(res.phih)
+        c = n // 2
+        assert phih[c + 4, c, c] == 0.0
+        assert phih[c + 3, c, c] > 0.0
+
+    def test_bucketed_equals_unbucketed(self):
+        """Shell bucketing is a pure performance knob."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        cfg_b = cfg.replace(shell_bucket_size=3)
+        r1 = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        r2 = sweep_single_source(cfg_b, tabs, nd, xa, jnp.float64(1.0), sc)
+        np.testing.assert_allclose(np.asarray(r1.phih), np.asarray(r2.phih),
+                                   rtol=1e-12)
+        assert float(r1.photon_loss) == pytest.approx(float(r2.photon_loss))
+
+
+class TestMultiSource:
+    def test_off_center_source_periodic_wrap(self):
+        """An off-center source must produce the same (rolled) solution as
+        a centered one - exercises the periodic recentering."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        c = n // 2
+        pos_centered = jnp.asarray([[c, c, c]], jnp.int32)
+        pos_shifted = jnp.asarray([[2, 5, 11]], jnp.int32)
+        nflux = jnp.asarray([1.0])
+        r1 = raytrace_all_sources(cfg, tabs, nd, xa, pos_centered, nflux, sc)
+        r2 = raytrace_all_sources(cfg, tabs, nd, xa, pos_shifted, nflux, sc)
+        ph1, ph2 = np.asarray(r1[0]), np.asarray(r2[0])
+        rolled = np.roll(ph1, (2 - c, 5 - c, 11 - c), axis=(0, 1, 2))
+        np.testing.assert_allclose(ph2, rolled, rtol=1e-10, atol=1e-30)
+
+    def test_two_sources_additive(self):
+        """Rate grids are additive over sources (fixed xh_av)."""
+        n = 16
+        cfg, tabs, sc, nd, xa, dr = make_setup(n)
+        p1 = jnp.asarray([[3, 3, 3]], jnp.int32)
+        p2 = jnp.asarray([[10, 12, 8]], jnp.int32)
+        both = jnp.concatenate([p1, p2])
+        f1 = jnp.asarray([1.0])
+        r1 = raytrace_all_sources(cfg, tabs, nd, xa, p1, f1, sc)
+        r2 = raytrace_all_sources(cfg, tabs, nd, xa, p2, f1, sc)
+        rb = raytrace_all_sources(cfg, tabs, nd, xa, both,
+                                  jnp.asarray([1.0, 1.0]), sc)
+        np.testing.assert_allclose(np.asarray(rb[0]),
+                                   np.asarray(r1[0]) + np.asarray(r2[0]),
+                                   rtol=1e-10)
+        assert float(rb[2]) == pytest.approx(float(r1[2]) + float(r2[2]))
