@@ -1,0 +1,118 @@
+"""Headline benchmark: cell x source ray-sweep updates/s per chip.
+
+Measures the throughput of the framework's hot path - the per-source
+wavefront sweep (ops/sweep.py), which subsumes the reference's
+do_source/evolve0D/cinterp/photoion_rates inner loops
+(evolve_source.F90 + evolve_point.F90 + column_density.f90 +
+radiation_photoionrates.F90).
+
+One cell x source "update" = the full per-cell work of evolve0D: the
+4-corner short-characteristics interpolation, column accumulation,
+photon-conserving table lookups and rate deposition.  At the default
+256^3 with a full-grid sweep a single source is 16.8M updates.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  We anchor
+vs_baseline to an optimistic 1e7 updates/s for one CPU core of the
+serial Fortran sweep (typical short-characteristics per-core rates),
+so vs_baseline = chip throughput / one reference core.
+
+Usage: python bench.py [--mesh 256] [--sources 4] [--iters 3] [--quick]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REFERENCE_CORE_UPDATES_PER_S = 1.0e7
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=256)
+    ap.add_argument("--sources", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="64^3 single-source smoke benchmark")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--max-shell", type=int, default=None,
+                    help="cap sweep radius (subbox analogue)")
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="shell bucket width (0 = single full-plane loop)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="source batch size (0 = all sources in one vmap batch)")
+    args = ap.parse_args()
+    if args.quick:
+        args.mesh, args.sources, args.iters = 64, 4, 2
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from c2ray_tpu.config import test_problem_config
+    from c2ray_tpu.ops.sweep import SweepScalars, raytrace_all_sources
+    from c2ray_tpu.ops.tables import build_rad_tables
+
+    n = args.mesh
+    cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
+                              type_of_lls=1, cosmological=False,
+                              shell_bucket_size=args.bucket,
+                              source_batch=args.batch or args.sources)
+    tables = build_rad_tables(cfg)
+
+    rng = np.random.default_rng(0)
+    srcpos = jnp.asarray(rng.integers(0, n, (args.sources, 3)), jnp.int32)
+    nflux = jnp.asarray(10.0 ** rng.uniform(6, 9, args.sources), jnp.float32)
+    # half-ionized medium: tables exercised across the thin/thick range
+    ndens = jnp.full(cfg.mesh, np.float32(1.98e-4))
+    xh_av = jnp.asarray(rng.uniform(0.3, 0.9, cfg.mesh).astype(np.float32))
+
+    dr = 2.9e24 / (n / 64)
+    sc = SweepScalars(dr=jnp.float32(dr),
+                      rate_scale=jnp.float32(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float32(1e17),
+                      rmax2_cells=jnp.float32(0.0))
+
+    @jax.jit
+    def sweep(ndens, xh_av, srcpos, nflux, sc):
+        return raytrace_all_sources(cfg, tables, ndens, xh_av, srcpos,
+                                    nflux, sc, max_shell=args.max_shell)
+
+    # warmup/compile
+    t0 = time.time()
+    out = sweep(ndens, xh_av, srcpos, nflux, sc)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = sweep(ndens, xh_av, srcpos, nflux, sc)
+    jax.block_until_ready(out)
+    elapsed = (time.time() - t0) / args.iters
+
+    shells = args.max_shell if args.max_shell else n // 2
+    if shells >= n // 2:
+        cells_per_source = n**3
+    else:
+        cells_per_source = min(n, 2 * shells + 1) ** 3
+    updates = cells_per_source * args.sources
+    rate = updates / elapsed
+
+    print(json.dumps({
+        "metric": f"cell_source_sweep_updates_per_s_{n}cube",
+        "value": rate,
+        "unit": "updates/s/chip",
+        "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
+    }))
+    print(f"# mesh={n}^3 sources={args.sources} sweep={elapsed*1e3:.1f} ms "
+          f"compile={compile_s:.1f}s backend={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

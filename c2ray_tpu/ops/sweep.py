@@ -344,6 +344,14 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     master_slave.F90:53-96) for the sources local to this device; the
     distributed version psums the returned grids (parallel/source_shard.py).
 
+    Sources are processed in vmapped batches of cfg.source_batch: the
+    shell wavefront loop is shared across the batch (one set of ops per
+    shell, batched planes), which is what keeps the TPU busy - single
+    sources at small meshes are per-op-overhead-bound.  This is the
+    within-device analogue of the reference's OpenMP sector parallelism
+    (evolve_source.F90:141-187), but batching whole sources instead of
+    octants.
+
     Args:
       srcpos: (S, 3) int32 0-based source cell positions.
       nflux:  (S,) source luminosities in S_star units.
@@ -353,25 +361,44 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     n = cfg.mesh[0]
     c = n // 2
     dtype = ndens.dtype
+    s = srcpos.shape[0]
+    b = max(1, min(cfg.source_batch, s))
+    nbatch = -(-s // b)
+    pad = nbatch * b - s
+    if pad:
+        # zero-flux padding sources contribute exactly zero everywhere
+        srcpos = jnp.concatenate([srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+        nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
+    srcpos_b = srcpos.reshape(nbatch, b, 3)
+    nflux_b = nflux.reshape(nbatch, b)
 
-    def one_source(carry, inp):
-        phih_g, heat_g, loss_t, lls_t = carry
-        pos, nf = inp
+    def sweep_one(pos, nf):
         shifts = c - pos
         nd_c = roll3(ndens, shifts)
         xa_c = roll3(xh_av1, shifts)
         lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
         res = sweep_single_source(cfg, tables, nd_c, xa_c, nf, sc,
                                   lls_c=lls_c, max_shell=max_shell)
-        phih_g = phih_g + roll3(res.phih, pos - c)
+        phih_g = roll3(res.phih, pos - c)
+        heat_g = (roll3(res.phiheat, pos - c) if not cfg.isothermal
+                  else res.phiheat)
+        return phih_g, heat_g, res.photon_loss, res.lls_loss
+
+    vsweep = jax.vmap(sweep_one)
+
+    def one_batch(carry, inp):
+        phih_g, heat_g, loss_t, lls_t = carry
+        pos, nf = inp
+        ph, he, lo, ll = vsweep(pos, nf)
+        phih_g = phih_g + jnp.sum(ph, axis=0)
         if not cfg.isothermal:
-            heat_g = heat_g + roll3(res.phiheat, pos - c)
-        return (phih_g, heat_g, loss_t + res.photon_loss,
-                lls_t + res.lls_loss), res.photon_loss
+            heat_g = heat_g + jnp.sum(he, axis=0)
+        return (phih_g, heat_g, loss_t + jnp.sum(lo),
+                lls_t + jnp.sum(ll)), lo
 
     zero3 = jnp.zeros((n, n, n), dtype)
     heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
     carry0 = (zero3, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
     (phih, heat, loss, lls_loss), per_src_loss = lax.scan(
-        one_source, carry0, (srcpos, nflux))
-    return phih, heat, loss, lls_loss, per_src_loss
+        one_batch, carry0, (srcpos_b, nflux_b))
+    return phih, heat, loss, lls_loss, per_src_loss.reshape(-1)[:s]

@@ -38,6 +38,8 @@ class EvolveInfo(NamedTuple):
     lls_loss: float          # S_star units
     per_source_loss: np.ndarray
     photon_stats: dict
+    phih: Optional[jax.Array] = None      # last accumulated rate grid [1/s]
+    phiheat: Optional[jax.Array] = None   # last heating grid [erg/s/cm^3]
 
 
 class Evolve3D:
@@ -133,6 +135,8 @@ class Evolve3D:
         per_src_loss = np.zeros(num_src)
         converged = False
         last_report = {}
+        phih = None
+        phiheat = None
 
         while True:
             # convergence tests (evolve.F90:179-233)
@@ -207,5 +211,6 @@ class Evolve3D:
             niter=niter, conv_flag=conv_flag, converged=converged,
             mean_xh1=float(self._sum(xh1)) / n_cells,
             photon_loss=photon_loss, lls_loss=lls_loss,
-            per_source_loss=per_src_loss, photon_stats=last_report)
+            per_source_loss=per_src_loss, photon_stats=last_report,
+            phih=phih, phiheat=phiheat if not cfg.isothermal else None)
         return new_state, info

@@ -1,0 +1,167 @@
+"""Output streams and photon-count metric files.
+
+Byte/column-compatible re-implementation of /root/reference/output.F90:
+the 5 togglable streams (default mask 0,1,1,0,0, output.F90:47) plus the
+PhotonCounts.out / PhotonCounts2.out conservation audit streams - the
+parity-checkable observables of the reference (SURVEY.md 5.5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import RunConfig
+from ..models.nbody import fortran_f6_3
+from ..ops.photonstats import PhotonStatistics
+from .io_fortran import write_sm3d, write_unformatted_records
+
+
+@dataclass
+class OutputWriter:
+    """Per-run output manager (module output_module equivalent)."""
+
+    cfg: RunConfig
+    results_dir: str = "./results/"
+    streams: tuple = (0, 1, 1, 0, 0)      # output.F90:47
+    _pc1: Optional[object] = None
+    _pc2: Optional[object] = None
+
+    def setup(self) -> None:
+        """setup_output (output.F90:61-120): open the photon-count files
+        and write their headers."""
+        os.makedirs(self.results_dir, exist_ok=True)
+        self._pc1 = open(os.path.join(self.results_dir, "PhotonCounts.out"),
+                         "a")
+        self._pc1.write(
+            " Columns: redshift, total number of photons used on the grid, "
+            "total number of photons produced on the grid, photon "
+            "conservation number, fraction new ionization, fraction "
+            "recombinations, fraction LLS losses, fraction photon losses, "
+            "fraction collisional ionization, grand total photon "
+            "conservation number\n")
+        self._pc2 = open(os.path.join(self.results_dir, "PhotonCounts2.out"),
+                         "a")
+        self._pc2.write(
+            " Columns: redshift, total number of ions, grand total ionizing "
+            "photons, mean ionization fraction (by volume and mass)\n")
+
+    def close_down(self) -> None:
+        """output.F90:126-139."""
+        for f in (self._pc1, self._pc2):
+            if f is not None:
+                f.close()
+        self._pc1 = self._pc2 = None
+
+    # ------------------------------------------------------------------
+    def _path(self, base: str, zred: float, ext: str) -> str:
+        return os.path.join(self.results_dir,
+                            f"{base}{fortran_f6_3(zred)}{ext}")
+
+    def write_stream1(self, zred, x_coords, xh1, temper, ndens, srcpos0):
+        """Axis profile through the first source (output.F90:229-280)."""
+        path = self._path("Ifront1_", zred, ".dat")
+        j, k = int(srcpos0[1]), int(srcpos0[2])
+        with open(path, "w") as f:
+            for i in range(self.cfg.mesh[0]):
+                x1 = float(xh1[i, j, k])
+                t = float(temper[i, j, k]) if temper is not None else \
+                    self.cfg.initial_temperature
+                f.write(f"{x_coords[i]:10.3e} {1.0 - x1:10.3e} {x1:10.3e} "
+                        f"{t:10.3e} {float(ndens[i, j, k]):10.3e}\n")
+
+    def write_stream2(self, zred, xh1, temper=None):
+        """Full ionization cube, dp (+ temperature cube, sp)
+        (output.F90:285-337)."""
+        write_sm3d(self._path("xfrac3D_", zred, ".bin"),
+                   np.asarray(xh1), np.float64)
+        if temper is not None and not self.cfg.isothermal:
+            write_sm3d(self._path("Temper3D_", zred, ".bin"),
+                       np.asarray(temper), np.float32)
+
+    def write_stream3(self, zred, phih, phiheat=None):
+        """Ionization (+heating) rate cubes, sp (output.F90:342-390)."""
+        write_sm3d(self._path("IonRates3D_", zred, ".bin"),
+                   np.asarray(phih), np.float32)
+        if phiheat is not None and not self.cfg.isothermal:
+            write_sm3d(self._path("HeatRates3D_", zred, ".bin"),
+                       np.asarray(phiheat), np.float32)
+
+    def write_stream4(self, zred, xh1):
+        """Midplane ionization slices (output.F90:395-454)."""
+        n1, n2, n3 = self.cfg.mesh
+        cuts = [("xy", np.asarray(xh1[:, :, n3 // 2 - 1], np.float32)),
+                ("xz", np.asarray(xh1[:, n2 // 2 - 1, :], np.float32)),
+                ("yz", np.asarray(xh1[n1 // 2 - 1, :, :], np.float32))]
+        for name, plane in cuts:
+            path = self._path(f"Ifront2_{name}_", zred, ".bin")
+            hdr = np.asarray(plane.shape, np.int32).tobytes()
+            write_unformatted_records(path, [hdr, plane.tobytes(order="F")])
+
+    def write_stream5(self, zred, ndens):
+        """Midplane density slices (output.F90:459-501)."""
+        n1, n2, n3 = self.cfg.mesh
+        nd = np.asarray(ndens, np.float32)
+        cuts = [("xy", nd[:, :, n3 // 2 - 1]), ("xz", nd[:, n2 // 2 - 1, :]),
+                ("yz", nd[n1 // 2 - 1, :, :])]
+        for name, plane in cuts:
+            path = self._path(f"ndens_{name}_", zred, ".bin")
+            hdr = np.asarray(plane.shape, np.int32).tobytes()
+            write_unformatted_records(path, [hdr, plane.tobytes(order="F")])
+
+    # ------------------------------------------------------------------
+    def write_photonstatistics(self, zred: float, time: float, dt: float,
+                               stats: PhotonStatistics,
+                               photon_loss: float, lls_loss: float,
+                               total_flux_s_star: float,
+                               ndens, xh1, vol: float) -> int:
+        """PhotonCounts/PhotonCounts2 rows + conservation-violation flag.
+
+        Reference: write_photonstatistics, output.F90:506-606.  Returns
+        photcons_flag (1 = violation beyond 15% not explained by grid
+        loss, :588-598).
+        """
+        cfg = self.cfg
+        s_star = cfg.sed.s_star
+        n_cells = cfg.n_cells
+        total_photon_loss = photon_loss * s_star * dt  # already a grid total
+        total_lls_loss = lls_loss * s_star * dt
+        totalsrc = total_flux_s_star * s_star * dt
+        # NOTE: the .out file uses the no-LLS variant (output.F90:546-547)
+        photcons = ((stats.total_ion - stats.totcollisions) / totalsrc
+                    if totalsrc > 0 else 1.0)
+        ti = stats.total_ion if stats.total_ion != 0.0 else 1.0
+        gr = (stats.grtotal_ion / stats.grtotal_src
+              if stats.grtotal_src > 0 else 0.0)
+        if self._pc1 is not None and time > 0.0:
+            self._pc1.write(
+                f"{zred:6.3f}" + "".join(
+                    f"{v:10.3e}" for v in (
+                        stats.total_ion, totalsrc, photcons,
+                        stats.dh0 / ti, stats.totrec / ti,
+                        total_lls_loss / totalsrc if totalsrc else 0.0,
+                        total_photon_loss / totalsrc if totalsrc else 0.0,
+                        stats.totcollisions / ti, gr)) + "\n")
+            self._pc1.flush()
+
+        nd = np.asarray(ndens, np.float64)
+        x1 = np.asarray(xh1, np.float64)
+        totions = float((nd * x1).sum()) * vol
+        volfrac = float(x1.sum()) / n_cells
+        massfrac = float((nd * x1).sum()) / float(nd.sum())
+        if self._pc2 is not None:
+            self._pc2.write(f"{zred:6.3f}" + "".join(
+                f"{v:10.3e}" for v in (totions, stats.grtotal_src,
+                                       volfrac, massfrac)) + "\n")
+            self._pc2.flush()
+
+        flag = 0
+        if time > 0.0 and abs(1.0 - photcons) > 0.15:
+            if (1.0 - photcons) > 0.15 and \
+                    (total_photon_loss / totalsrc if totalsrc else 0.0) \
+                    < (1.0 - photcons):
+                flag = 1
+        return flag

@@ -1,0 +1,96 @@
+"""Multi-device source sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from c2ray_tpu import constants as const
+from c2ray_tpu.config import test_problem_config as make_config
+from c2ray_tpu.ops.sweep import SweepScalars, raytrace_all_sources
+from c2ray_tpu.ops.tables import build_rad_tables
+from c2ray_tpu.parallel.source_shard import (make_device_mesh, pad_sources,
+                                             sharded_raytracer)
+from c2ray_tpu.solver import Evolve3D
+from c2ray_tpu.state import initial_state
+
+
+def setup(n=16):
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    dr = 2.9e24
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    nd = jnp.full((n, n, n), 1.98e-4)
+    xa = jnp.full((n, n, n), 0.1)
+    return cfg, tabs, sc, nd, xa, dr
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_serial():
+    """Source sharding + psum reproduces the serial scan bitwise-close
+    (the multi-host parity check of SURVEY.md section 4)."""
+    cfg, tabs, sc, nd, xa, dr = setup()
+    rng = np.random.default_rng(1)
+    srcpos = rng.integers(0, 16, size=(8, 3)).astype(np.int32)
+    nflux = (10.0 ** rng.uniform(6, 9, size=8))
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc)
+
+    mesh = make_device_mesh(8)
+    rt = sharded_raytracer(mesh)
+    shard = rt(cfg, tabs, nd, xa, jnp.asarray(srcpos), jnp.asarray(nflux), sc)
+
+    np.testing.assert_allclose(np.asarray(shard[0]), np.asarray(serial[0]),
+                               rtol=1e-12)
+    assert float(shard[2]) == pytest.approx(float(serial[2]), rel=1e-12)
+    # per-source losses survive sharding (order preserved)
+    np.testing.assert_allclose(np.asarray(shard[4]), np.asarray(serial[4]),
+                               rtol=1e-12)
+
+
+def test_padding_neutral():
+    """Zero-flux padding sources change nothing."""
+    cfg, tabs, sc, nd, xa, dr = setup()
+    srcpos = np.array([[3, 4, 5], [10, 2, 8]], np.int32)
+    nflux = np.array([1e8, 3e7])
+    p_pos, p_flux, s = pad_sources(srcpos, nflux, 8)
+    assert len(p_flux) == 8 and s == 2
+    r1 = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                              jnp.asarray(nflux), sc)
+    r2 = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(p_pos),
+                              jnp.asarray(p_flux), sc)
+    np.testing.assert_allclose(np.asarray(r2[0]), np.asarray(r1[0]),
+                               rtol=1e-14)
+
+
+def test_solver_with_sharded_raytracer():
+    """Full evolve3D with the sharded raytracer matches the serial solver."""
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    srcpos, nflux, _ = pad_sources(
+        np.array([[8, 8, 8], [3, 12, 5]], np.int32),
+        np.array([1e9, 1e8]), 8)
+    ndens = jnp.full((n, n, n), 1.98e-4)
+    dt = 3.1e14
+
+    results = {}
+    for key, rt in [("serial", None),
+                    ("sharded", sharded_raytracer(make_device_mesh(8)))]:
+        solver = Evolve3D(cfg, tabs, raytracer=rt)
+        state = initial_state(cfg)
+        for _ in range(2):
+            state, info = solver.evolve3d(state, ndens, 2.9e24, srcpos,
+                                          nflux, dt)
+        results[key] = (np.asarray(state.xh1), info.mean_xh1)
+    np.testing.assert_allclose(results["sharded"][0], results["serial"][0],
+                               rtol=1e-10)
