@@ -177,6 +177,14 @@ class RunConfig:
     # --- initial conditions (ionfractions_module.F90:41-50 RECFAST value) ---
     initial_xh: float = 2e-4
 
+    # --- rate evaluation (TPU-native; no reference equivalent) ---
+    # "table": linear interpolation in the tau tables (reference-exact);
+    # "expsum": K-term exponential-mixture evaluation (gather-free, exact
+    # photon-conserving differences via expm1); "auto": expsum for float32
+    # (TPU), table for float64 (CPU parity runs).
+    rate_eval: str = "auto"
+    num_exp_terms: int = 16
+
     # --- sweep engine knobs (TPU-native; no reference equivalent) ---
     # static cap on the sweep radius in shells (None = full grid, mesh/2);
     # the TPU analogue of the reference's dynamic subboxes.

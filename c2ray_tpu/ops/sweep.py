@@ -22,10 +22,23 @@ Here the same causal order becomes a *Chebyshev-shell wavefront*:
     elementwise math on 2D planes - no gathers - and the geometric weights
     reduce to closed forms evaluated from iota coordinates:
         dx = (d - |ta|)/d,  path = sqrt((ta^2+tb^2)/d^2 + 1).
+  * ONLY the column densities are causal.  The sequential wavefront loop
+    computes nothing but coldensh_out; all rate physics (photon-conserving
+    table/mixture evaluation, LLS opacity losses, boundary-loss tallies,
+    per-atom rate deposition) happens afterwards in ONE fully vectorized
+    pass over the grid, recovering coldensh_in = coldensh_out - cell
+    column exactly.  This halves the sequential-path op count - critical
+    on TPU where per-op and per-loop-iteration overheads dominate small
+    plane work.
+  * Read-only fields (density, ionization) are pre-staged into face-major
+    stacks (d, face, a, b) before the loop, so the loop body performs two
+    dynamic slices instead of twelve.
   * The dynamic subbox growth (evolve_source.F90:128-212) becomes a static
     `max_shell` radius; escaping photons are tallied exactly as the
     reference's boundary-face loss (evolve_point.F90:290-295) so a host
     driver can re-sweep under-radiused sources.
+  * Sources are batched with vmap (raytrace_all_sources): one shared shell
+    loop over a batch of recentered grids.
 
 Units policy (float32-safe): photon rates in units of S_star photons/s
 (tables pre-normalized), geometry in cell units; the single combined scale
@@ -99,6 +112,31 @@ def roll3(a: jax.Array, shifts) -> jax.Array:
     return jnp.roll(a, (shifts[0], shifts[1], shifts[2]), axis=(0, 1, 2))
 
 
+def _stage_faces(x: jax.Array, d_max: int) -> jax.Array:
+    """Pre-stage a centered field into face-major planes.
+
+    Returns (d_max+1, 6, N, N): entry [d, f] is the full transverse plane
+    of grid plane (dominant axis of face f at offset sign*d).  Pure
+    slices/flips/transposes, done once per sweep so the shell loop needs a
+    single dynamic slice per field instead of six.
+    """
+    n = x.shape[0]
+    c = n // 2
+    slabs = []
+    for (ax, s, _, _) in _FACES:
+        idx: List = [slice(None)] * 3
+        if s > 0:
+            idx[ax] = slice(c, None)          # planes d = 0 .. n-1-c
+        else:
+            idx[ax] = slice(c, None, -1)      # planes d = 0 .. c
+        slab = jnp.moveaxis(x[tuple(idx)], ax, 0)
+        pad = d_max + 1 - slab.shape[0]
+        if pad > 0:
+            slab = jnp.pad(slab, ((0, pad), (0, 0), (0, 0)), mode="edge")
+        slabs.append(slab[:d_max + 1])
+    return jnp.stack(slabs, axis=1)
+
+
 def plan_buckets(cfg: RunConfig, max_shell: int) -> List[Tuple[int, int, int, int]]:
     """Split shells 1..max_shell into buckets of static patch size.
 
@@ -127,16 +165,14 @@ def plan_buckets(cfg: RunConfig, max_shell: int) -> List[Tuple[int, int, int, in
     return out
 
 
-def _shell_step(d, carry, *, cfg: RunConfig, tables: RadTables,
-                nd_c, xa_c, nflux, sc: SweepScalars, lls_c,
-                patch: int, lo: int, max_shell: int):
-    """Process all 6 faces of Chebyshev shell d (one wavefront step).
+def _column_step(d, cdo, *, cfg: RunConfig, ndhi_faces, lls_faces,
+                 sc: SweepScalars, patch: int, lo: int):
+    """One wavefront step: interpolate incoming columns for all 6 faces of
+    shell d and commit the outgoing columns.
 
-    Equivalent of one pass of evolve2D/evolve1D_axis/evolve2D_plane/
-    evolve3D_quadrant over the shell's cells, with the per-cell work of
-    evolve0D (evolve_point.F90:83-299) fully vectorized.
+    The causal core of evolve0D (evolve_point.F90:128-248) + cinterp
+    (column_density.f90:29-271), columns only.
     """
-    cdo, phih, heat, loss, lls_loss = carry
     n = cfg.mesh[0]
     c = n // 2
     pos_max = n - 1 - c
@@ -144,7 +180,7 @@ def _shell_step(d, carry, *, cfg: RunConfig, tables: RadTables,
     sigma = const.SIGMA_HI_AT_ION_FREQ
     eps = cfg.epsilon
 
-    df = d.astype(dtype) if hasattr(d, "astype") else jnp.asarray(d, dtype)
+    df = jnp.asarray(d, dtype) if not hasattr(d, "astype") else d.astype(dtype)
     inv_d = 1.0 / df
 
     ar = np.arange(patch) + (lo - c)            # transverse offsets (static)
@@ -155,16 +191,15 @@ def _shell_step(d, carry, *, cfg: RunConfig, tables: RadTables,
     abs_ta = jnp.abs(ta)
     abs_tb = jnp.abs(tb)
 
-    # --- gather the 6 previous dominant planes and current field planes ---
+    # previous dominant planes (the only in-loop reads of mutable state)
     prev = jnp.stack([_take_plane(cdo, ax, c + s * (d - 1), lo, patch)
                       for (ax, s, _, _) in _FACES])
-    ndp = jnp.stack([_take_plane(nd_c, ax, c + s * d, lo, patch)
-                     for (ax, s, _, _) in _FACES])
-    xap = jnp.stack([_take_plane(xa_c, ax, c + s * d, lo, patch)
-                     for (ax, s, _, _) in _FACES])
-    if lls_c is not None:
-        lcol = jnp.stack([_take_plane(lls_c, ax, c + s * d, lo, patch)
-                          for (ax, s, _, _) in _FACES])
+    # staged read-only neutral-density planes at distance d: one slice
+    ndhip = lax.dynamic_slice(ndhi_faces, (d, 0, lo, lo),
+                              (1, 6, patch, patch))[0]
+    if lls_faces is not None:
+        lcol = lax.dynamic_slice(lls_faces, (d, 0, lo, lo),
+                                 (1, 6, patch, patch))[0]
     else:
         lcol = sc.lls_coldens
 
@@ -185,7 +220,6 @@ def _shell_step(d, carry, *, cfg: RunConfig, tables: RadTables,
     c1 = shift_toward_source(c3, 2, pos_b)       # (im, jm)
 
     # --- geometric interpolation weights (column_density.f90:112-142) -----
-    # dx = 2|xc - (im + 0.5 sgn)| reduces to (d - |t|)/d in the shell frame.
     f_a = jnp.clip((df - abs_ta) * inv_d, 0.0, 1.0)
     f_b = jnp.clip((df - abs_tb) * inv_d, 0.0, 1.0)
     s1 = (1.0 - f_a) * (1.0 - f_b)
@@ -209,81 +243,150 @@ def _shell_step(d, carry, *, cfg: RunConfig, tables: RadTables,
     diag = jnp.where(a1 & b1, SQRT3, jnp.where(a1 | b1, SQRT2, 1.0)).astype(dtype)
     cdensi = jnp.where(d == 1, cdensi * diag, cdensi)
 
-    # --- path length and shell volume (cell units) ------------------------
-    t2 = ta * ta + tb * tb
-    path = jnp.sqrt(t2 * (inv_d * inv_d) + 1.0)        # column_density.f90:168
-    dist2_c = t2 + df * df
-    vol_ph = FOURPI * dist2_c * path                   # evolve_point.F90:177
+    # path length through the cell (column_density.f90:168)
+    path = jnp.sqrt((ta * ta + tb * tb) * (inv_d * inv_d) + 1.0)
 
-    # --- LLS opacity added to the incoming column (evolve_point.F90:186-196)
+    # LLS opacity added to the incoming column (evolve_point.F90:186-196)
     coldensh_in = cdensi
     if cfg.use_lls and cfg.type_of_lls in (1, 2):
         coldensh_in = coldensh_in + lcol * path
 
-    stop = coldensh_in > cfg.max_coldensh              # evolve_point.F90:201
+    # outgoing column (evolve_point.F90:247-248); ndhi = x_HI,av * n_H is
+    # the only field combination the sweep ever needs
+    cdo_new = coldensh_in + ndhip * (path * sc.dr)
+
+    # masked per-face commits (faces partition the shell; edge cells that
+    # appear in several planes resolve by the static bound_sub priority)
+    for f, (ax, sgn, sub_a, sub_b) in enumerate(_FACES):
+        mask = (jnp.abs(ita) <= d - sub_a) & (jnp.abs(itb) <= d - sub_b)
+        if sgn > 0:
+            mask = mask & (d <= pos_max)
+        zi = c + sgn * d
+        old = _take_plane(cdo, ax, zi, lo, patch)
+        cdo = _put_plane(cdo, jnp.where(mask, cdo_new[f], old), ax, zi, lo)
+    return cdo
+
+
+def compute_columns(cfg: RunConfig, ndhi_c: jax.Array,
+                    sc: SweepScalars, lls_c: Optional[jax.Array],
+                    max_shell: int) -> jax.Array:
+    """Run the causal wavefront and return coldensh_out for one source.
+
+    ndhi_c: time-averaged neutral hydrogen density x_HI,av * n_H (centered)
+    - the single field combination the column march needs.
+    """
+    n = cfg.mesh[0]
+    c = n // 2
+    dtype = ndhi_c.dtype
+
+    ndhi_faces = _stage_faces(ndhi_c, max_shell)
+    lls_faces = _stage_faces(lls_c, max_shell) if lls_c is not None else None
+
+    cdo = jnp.zeros((n, n, n), dtype)     # coldensh_out (evolve_source.F90:91)
+    # source cell (evolve_point.F90:151-160): half-cell column
+    cdo = cdo.at[c, c, c].set(ndhi_c[c, c, c] * (0.5 * sc.dr))
+
+    for d_lo, d_hi, patch, lo in plan_buckets(cfg, max_shell):
+        def body(d, cdo, patch=patch, lo=lo):
+            return _column_step(d, cdo, cfg=cfg, ndhi_faces=ndhi_faces,
+                                lls_faces=lls_faces, sc=sc, patch=patch, lo=lo)
+        cdo = lax.fori_loop(d_lo, d_hi + 1, body, cdo)
+    return cdo
+
+
+def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
+               nflux, sc: SweepScalars, lls_c, max_shell: int) -> SweepResult:
+    """Vectorized rate deposition from the completed column-density field.
+
+    Reconstructs coldensh_in = coldensh_out - cell column (exactly the
+    value used to build cdo), then applies the per-cell physics of
+    evolve0D (evolve_point.F90:151-295): shell-volume dilution, the
+    max_coldensh / R_max cutoffs, photon-conserving rates, per-atom rate
+    division, boundary photon-loss and LLS-loss tallies.
+    """
+    n = cfg.mesh[0]
+    c = n // 2
+    pos_max = n - 1 - c
+    dtype = cdo.dtype
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    eps = cfg.epsilon
+
+    o = np.arange(n) - c
+    oi = jnp.asarray(o[:, None, None], jnp.int32)
+    oj = jnp.asarray(o[None, :, None], jnp.int32)
+    ok = jnp.asarray(o[None, None, :], jnp.int32)
+    aoi, aoj, aok = jnp.abs(oi), jnp.abs(oj), jnp.abs(ok)
+    cheb = jnp.maximum(jnp.maximum(aoi, aoj), aok)
+    is_src = cheb == 0
+
+    dom = cheb.astype(dtype)
+    safe_d = jnp.maximum(dom, 1.0)
+    fi = oi.astype(dtype)
+    fj = oj.astype(dtype)
+    fk = ok.astype(dtype)
+    dist2 = fi * fi + fj * fj + fk * fk
+    t2 = dist2 - dom * dom
+    path = jnp.sqrt(t2 / (safe_d * safe_d) + 1.0)
+    path = jnp.where(is_src, 0.5, path)            # evolve_point.F90:155
+    vol_ph = FOURPI * dist2 * path
+    vol_ph = jnp.where(is_src, 1.0, vol_ph)        # evolve_point.F90:160
+
+    colcell = ndhi_c * (path * sc.dr)
+    coldensh_in = jnp.maximum(cdo - colcell, 0.0)
+
+    active = cheb <= max_shell
+    stop = coldensh_in > cfg.max_coldensh          # evolve_point.F90:201
     if cfg.use_lls and cfg.type_of_lls == 3:
-        stop = stop | (dist2_c > sc.rmax2_cells)       # evolve_point.F90:191
+        stop = stop | (dist2 > sc.rmax2_cells)     # evolve_point.F90:191
 
-    # --- cell column + photon-conserving rates (evolve_point.F90:247-286) -
-    xa1 = jnp.maximum(xap, eps)
-    xa0 = jnp.maximum(1.0 - xa1, eps)
-    cdo_new = coldensh_in + xa0 * ndp * (path * sc.dr)
-    phi = photoion_rates(cfg, tables, coldensh_in, cdo_new, vol_ph, nflux)
-    gamma = phi.photo_cell * sc.rate_scale / (xa0 * ndp)
-    gamma = jnp.where(stop, 0.0, gamma)
-    phi_out = jnp.where(stop, 0.0, phi.photo_out)
-    if not cfg.isothermal:
-        heat_v = jnp.where(stop, 0.0, phi.heat) * sc.rate_scale
+    phi = photoion_rates(cfg, tables, coldensh_in, cdo, vol_ph, nflux)
+    live = active & ~stop
+    gamma = jnp.where(live, phi.photo_cell * sc.rate_scale / ndhi_c, 0.0)
+    heat = (jnp.where(live, phi.heat, 0.0) * sc.rate_scale
+            if not cfg.isothermal else jnp.zeros((), dtype))
 
-    # --- masks, losses, commits ------------------------------------------
+    # boundary-of-trace loss (evolve_point.F90:290-295)
     p_lim = min(max_shell, pos_max)
     q_lim = min(max_shell, c)
-    loss_add = jnp.zeros((), dtype)
-    lls_add = jnp.zeros((), dtype)
+    bnd = ((oi == p_lim) | (oi == -q_lim) | (oj == p_lim) | (oj == -q_lim)
+           | (ok == p_lim) | (ok == -q_lim))
+    loss = jnp.sum(jnp.where(live & bnd, phi.photo_out / vol_ph, 0.0))
+
+    lls_loss = jnp.zeros((), dtype)
     if cfg.use_lls and cfg.type_of_lls in (1, 2):
-        # Photons absorbed by the LLS fog in this cell.  NOTE: physically
-        # correct accounting with phi.photo_in; the reference passes its
+        lcol = lls_c if lls_c is not None else sc.lls_coldens
+        # Photons absorbed by the LLS fog.  NOTE: physically correct
+        # accounting with phi.photo_in; the reference passes its
         # never-assigned photo_in_HI field here (evolve_point.F90:269,
         # radiation_photoionrates.F90:438-452), making its tally always 0.
         tau_lls = sigma * lcol * path
-        lls_cell = phi.photo_in / vol_ph * (-jnp.expm1(-tau_lls))
-    for f, (ax, s, sub_a, sub_b) in enumerate(_FACES):
-        mask = (jnp.abs(ita) <= d - sub_a) & (jnp.abs(itb) <= d - sub_b)
-        if s > 0:
-            mask = mask & (d <= pos_max)
-        # boundary-of-trace loss tally (evolve_point.F90:290-295)
-        bnd = ((ita == p_lim) | (ita == -q_lim) |
-               (itb == p_lim) | (itb == -q_lim) |
-               (d == (p_lim if s > 0 else q_lim)))
-        loss_add = loss_add + jnp.sum(
-            jnp.where(mask & bnd, phi_out[f] / vol_ph, 0.0))
-        if cfg.use_lls and cfg.type_of_lls in (1, 2):
-            lls_add = lls_add + jnp.sum(
-                jnp.where(mask & ~stop[f], lls_cell[f], 0.0))
-        zi = c + s * d
-        old = _take_plane(cdo, ax, zi, lo, patch)
-        cdo = _put_plane(cdo, jnp.where(mask, cdo_new[f], old), ax, zi, lo)
-        oldp = _take_plane(phih, ax, zi, lo, patch)
-        phih = _put_plane(phih, oldp + jnp.where(mask, gamma[f], 0.0), ax, zi, lo)
-        if not cfg.isothermal:
-            oldh = _take_plane(heat, ax, zi, lo, patch)
-            heat = _put_plane(heat, oldh + jnp.where(mask, heat_v[f], 0.0),
-                              ax, zi, lo)
+        lls_loss = jnp.sum(jnp.where(
+            live, phi.photo_in / vol_ph * (-jnp.expm1(-tau_lls)), 0.0))
 
-    return (cdo, phih, heat, loss + loss_add, lls_loss + lls_add)
+    return SweepResult(gamma, heat, loss, lls_loss, cdo)
+
+
+def neutral_density(cfg: RunConfig, ndens: jax.Array,
+                    xh_av1: jax.Array) -> jax.Array:
+    """ndhi = max(1 - max(x_av, eps), eps) * n - the epsilon-clamped
+    time-averaged neutral density (evolve_point.F90:137-142)."""
+    eps = cfg.epsilon
+    return jnp.maximum(1.0 - jnp.maximum(xh_av1, eps), eps) * ndens
 
 
 def sweep_single_source(cfg: RunConfig, tables: RadTables,
-                        nd_c: jax.Array, xa_c: jax.Array,
-                        nflux, sc: SweepScalars,
+                        ndhi_c: jax.Array, nflux, sc: SweepScalars,
                         lls_c: Optional[jax.Array] = None,
                         max_shell: Optional[int] = None) -> SweepResult:
     """Ray-trace one source over its (source-centered) grid.
 
     Equivalent of do_source (evolve_source.F90:58-221): resets the
-    per-source column-density grid, processes the source cell, then walks
-    the Chebyshev shells outward to max_shell, accumulating the per-atom
-    photoionization rate, heating rate, boundary photon loss and LLS loss.
+    per-source column-density grid, runs the causal wavefront to
+    max_shell, then deposits per-atom photoionization/heating rates and
+    tallies boundary + LLS photon losses.
+
+    ndhi_c: neutral density field from neutral_density(), recentered on
+    the source.
     """
     n = cfg.mesh[0]
     assert cfg.mesh[0] == cfg.mesh[1] == cfg.mesh[2], "sweep assumes cubic mesh"
@@ -292,44 +395,10 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
     if max_shell is None:
         max_shell = cfg.max_shell if cfg.max_shell is not None else d_max
     max_shell = min(max_shell, min(d_max, cfg.max_subbox))
-    dtype = nd_c.dtype
-    eps = cfg.epsilon
 
-    cdo = jnp.zeros((n, n, n), dtype)     # coldensh_out (evolve_source.F90:91)
-    phih = jnp.zeros((n, n, n), dtype)
-    heat = jnp.zeros((n, n, n), dtype) if not cfg.isothermal else None
-    loss = jnp.zeros((), dtype)
-    lls_loss = jnp.zeros((), dtype)
-
-    # --- source cell (evolve_point.F90:151-160): path = dr/2, vol_ph = cell
-    nd0 = nd_c[c, c, c]
-    xa1 = jnp.maximum(xa_c[c, c, c], eps)
-    xa0 = jnp.maximum(1.0 - xa1, eps)
-    cdo0 = xa0 * nd0 * (0.5 * sc.dr)
-    phi0 = photoion_rates(cfg, tables, jnp.zeros((), dtype), cdo0,
-                          jnp.ones((), dtype), nflux)
-    gamma0 = phi0.photo_cell * sc.rate_scale / (xa0 * nd0)
-    cdo = cdo.at[c, c, c].set(cdo0)
-    phih = phih.at[c, c, c].set(gamma0)
-    if heat is not None:
-        heat = heat.at[c, c, c].set(phi0.heat * sc.rate_scale)
-    if cfg.use_lls and cfg.type_of_lls in (1, 2):
-        lcol0 = lls_c[c, c, c] if lls_c is not None else sc.lls_coldens
-        tau0 = const.SIGMA_HI_AT_ION_FREQ * lcol0 * 0.5
-        lls_loss = lls_loss + phi0.photo_in * (-jnp.expm1(-tau0))
-
-    carry = (cdo, phih, heat, loss, lls_loss)
-    for d_lo, d_hi, patch, lo in plan_buckets(cfg, max_shell):
-        def body(d, carry, patch=patch, lo=lo):
-            return _shell_step(d, carry, cfg=cfg, tables=tables, nd_c=nd_c,
-                               xa_c=xa_c, nflux=nflux, sc=sc, lls_c=lls_c,
-                               patch=patch, lo=lo, max_shell=max_shell)
-        carry = lax.fori_loop(d_lo, d_hi + 1, body, carry)
-
-    cdo, phih, heat, loss, lls_loss = carry
-    if heat is None:
-        heat = jnp.zeros((), dtype)
-    return SweepResult(phih, heat, loss, lls_loss, cdo)
+    cdo = compute_columns(cfg, ndhi_c, sc, lls_c, max_shell)
+    return _rate_pass(cfg, tables, cdo, ndhi_c, nflux, sc, lls_c,
+                      max_shell)
 
 
 def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
@@ -372,12 +441,13 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     srcpos_b = srcpos.reshape(nbatch, b, 3)
     nflux_b = nflux.reshape(nbatch, b)
 
+    ndhi = neutral_density(cfg, ndens, xh_av1)
+
     def sweep_one(pos, nf):
         shifts = c - pos
-        nd_c = roll3(ndens, shifts)
-        xa_c = roll3(xh_av1, shifts)
+        ndhi_c = roll3(ndhi, shifts)
         lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
-        res = sweep_single_source(cfg, tables, nd_c, xa_c, nf, sc,
+        res = sweep_single_source(cfg, tables, ndhi_c, nf, sc,
                                   lls_c=lls_c, max_shell=max_shell)
         phih_g = roll3(res.phih, pos - c)
         heat_g = (roll3(res.phiheat, pos - c) if not cfg.isothermal

@@ -36,6 +36,15 @@ class RadTables(NamedTuple):
     tau); the *thin* tables carry an extra xsec(nu) factor and are the
     derivative -d(thick)/d(tau), used for optically thin cells.
     Reference: radiation_tables.F90:361-430 (integrands), :524-565 (tables).
+
+    exp_a/exp_w: the TPU fast path - a K-term exponential-mixture
+    compression of the same integral, thick(tau) ~= sum_k w_k e^{-a_k tau}
+    (exact in form: the integrand IS a continuous mixture of exponentials
+    over the cross-section ratio a = (nu/nu_0)^-2.8).  Evaluating the
+    mixture is pure VPU math, avoiding table gathers which are very slow
+    on TPU.  thin(tau) = sum_k w_k a_k e^{-a_k tau} is its exact
+    derivative, so photon conservation telescopes identically.
+    heat_exp_w: weights of the heating mixture over the same a_k.
     """
 
     photo_thick: jax.Array
@@ -47,6 +56,13 @@ class RadTables(NamedTuple):
     xray_photo_thin: jax.Array
     xray_heat_thick: jax.Array
     xray_heat_thin: jax.Array
+    # exponential-mixture compression (TPU fast path)
+    exp_a: jax.Array = None
+    exp_w: jax.Array = None
+    heat_exp_w: jax.Array = None
+    xray_exp_a: jax.Array = None
+    xray_exp_w: jax.Array = None
+    xray_heat_exp_w: jax.Array = None
 
 
 class SEDProperties(NamedTuple):
@@ -180,6 +196,56 @@ def _band_tables(cfg: RunConfig, sed_vals: np.ndarray, freq: np.ndarray,
     return photo_thick, photo_thin, heat_thick, heat_thin
 
 
+def _fit_exp_mixture(weights: np.ndarray, ahat: np.ndarray,
+                     k: int = 16):
+    """Compress sum_i W_i e^{-tau a_i} (the exact frequency-quadrature
+    form of the thick integral) into a K-term nonnegative mixture.
+
+    Decay rates a_k are log-spaced over the cross-section-ratio range and
+    the weights solved by nonnegative least squares over log-spaced tau
+    samples with relative-error weighting.  Returns (a_k, w_photo_k).
+    The same a_k basis is reused for the heating weights so photo and
+    heat rates share exponentials.
+    """
+    from scipy.optimize import nnls
+
+    amin, amax = float(ahat.min()), float(ahat.max())
+    if amax / amin < 1.0 + 1e-12:
+        return np.asarray([amin]), np.asarray([weights.sum()])
+    a_k = np.geomspace(amin, amax, k)
+    taus = np.concatenate([[0.0], np.geomspace(1e-6, 3.0 / amin, 240)])
+    target = (weights[None, :] * np.exp(-np.outer(taus, ahat))).sum(axis=1)
+    design = np.exp(-np.outer(taus, a_k))
+    # relative weighting, floored so the deep-absorbed tail doesn't dominate
+    row_w = 1.0 / np.maximum(np.abs(target), 1e-7 * abs(target[0]))
+    w_k, _ = nnls(design * row_w[:, None], target * row_w,
+                  maxiter=100 * len(a_k))
+    # exactness at tau=0 (photon-count normalization)
+    tot = w_k.sum()
+    if tot > 0:
+        w_k *= target[0] / tot
+    return a_k, w_k
+
+
+def _fit_heat_weights(a_k: np.ndarray, weights: np.ndarray,
+                      ahat: np.ndarray) -> np.ndarray:
+    """Heating-mixture weights on the shared a_k basis (may be signed in
+    principle; fitted with NNLS since the heat integrand is positive)."""
+    from scipy.optimize import nnls
+
+    amin = float(ahat.min())
+    taus = np.concatenate([[0.0], np.geomspace(1e-6, 3.0 / amin, 240)])
+    target = (weights[None, :] * np.exp(-np.outer(taus, ahat))).sum(axis=1)
+    design = np.exp(-np.outer(taus, a_k))
+    row_w = 1.0 / np.maximum(np.abs(target), 1e-7 * max(abs(target[0]), 1e-300))
+    w_k, _ = nnls(design * row_w[:, None], target * row_w,
+                  maxiter=100 * len(a_k))
+    tot = w_k.sum()
+    if tot > 0 and target[0] > 0:
+        w_k *= target[0] / tot
+    return w_k
+
+
 def build_rad_tables(cfg: RunConfig) -> RadTables:
     """rad_ini equivalent: build all rate tables (host) and ship to device.
 
@@ -215,6 +281,34 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
         z = np.zeros_like(pt)
         xpt, xpn, xht, xhn = z, z, z, z
 
+    # Exponential-mixture compression for the TPU fast path: quadrature
+    # weights W_i = romberg_w * h * SED_i, cross-section ratios
+    # ahat_i = (nu_i/nu_min)^-2.8 (radiation_tables.F90:351-353).
+    from .romberg import romberg_weights
+    if cfg.grey:
+        ahat = np.ones_like(freq)
+    else:
+        ahat = (freq / freq_min) ** (-cfg.pl_index_cross_section_hi)
+    wq = romberg_weights(n) * h * sed_vals
+    exp_a, exp_w = _fit_exp_mixture(wq, ahat, k=cfg.num_exp_terms)
+    if build_heat:
+        heat_wq = wq * const.HPLANCK * (freq - const.ION_FREQ_HI)
+        heat_exp_w = _fit_heat_weights(exp_a, heat_wq, ahat)
+    else:
+        heat_exp_w = np.zeros_like(exp_w)
+    if sed.use_xray_sed:
+        xahat = (xfreq / xfreq[0]) ** (-cfg.pl_index_cross_section_hi)
+        xwq = romberg_weights(n) * xh * xsed
+        xexp_a, xexp_w = _fit_exp_mixture(xwq, xahat, k=cfg.num_exp_terms)
+        if build_heat:
+            xheat_exp_w = _fit_heat_weights(
+                xexp_a, xwq * const.HPLANCK * (xfreq - const.ION_FREQ_HI), xahat)
+        else:
+            xheat_exp_w = np.zeros_like(xexp_w)
+    else:
+        xexp_a, xexp_w = exp_a, np.zeros_like(exp_w)
+        xheat_exp_w = np.zeros_like(exp_w)
+
     # Normalize all tables by S_star: photon rates on device are carried in
     # units of S_star photons/s so that float32 never sees ~1e48-1e57 cgs
     # magnitudes (a TPU-native design choice; the reference computes in
@@ -222,9 +316,14 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
     # with host-side f64 scale factors (see sweep.py rate_scale).
     s = props.s_star
     dt = cfg.np_dtype
-    as_dev = lambda a: jnp.asarray((a / s).astype(dt))
+    as_dev = lambda a: jnp.asarray((np.asarray(a) / s).astype(dt))
+    as_dev_raw = lambda a: jnp.asarray(np.asarray(a).astype(dt))
     return RadTables(as_dev(pt), as_dev(pn), as_dev(ht), as_dev(hn),
-                     as_dev(xpt), as_dev(xpn), as_dev(xht), as_dev(xhn))
+                     as_dev(xpt), as_dev(xpn), as_dev(xht), as_dev(xhn),
+                     exp_a=as_dev_raw(exp_a), exp_w=as_dev(exp_w),
+                     heat_exp_w=as_dev(heat_exp_w),
+                     xray_exp_a=as_dev_raw(xexp_a), xray_exp_w=as_dev(xexp_w),
+                     xray_heat_exp_w=as_dev(xheat_exp_w))
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +363,54 @@ class PhotoRates(NamedTuple):
     heat: jax.Array         # heating rate of the cell / vol_ph
 
 
+def photoion_rates_expsum(cfg: RunConfig, tables: RadTables,
+                          coldens_in: jax.Array, coldens_out: jax.Array,
+                          vol_ph: jax.Array, nflux: jax.Array,
+                          nflux_xray: Optional[jax.Array] = None) -> PhotoRates:
+    """Gather-free rate evaluation via the exponential mixture.
+
+    phi_cell = sum_k w_k e^{-a_k tau_in} (-expm1(-a_k dtau)) is the EXACT
+    thick-table difference of the mixture, stable in float32 for any dtau
+    (no thin/thick branch needed) and exactly telescoping along rays.
+    """
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    tau_in = coldens_in * sigma
+    dtau = (coldens_out - coldens_in) * sigma
+
+    def one_source(a, w, hw, nf):
+        # Unrolled accumulation over the K mixture terms: keeps every
+        # intermediate at the cell-array shape (a broadcast over K would
+        # materialize a K-times-larger temporary at 256^3 scales).
+        k = a.shape[0]
+        phi_in = jnp.zeros_like(tau_in)
+        phi_cell = jnp.zeros_like(tau_in)
+        heat_acc = jnp.zeros_like(tau_in) if not cfg.isothermal else None
+        for i in range(k):
+            att = jnp.exp(-jnp.minimum(a[i] * tau_in, 80.0))
+            absorb = att * -jnp.expm1(-jnp.minimum(a[i] * dtau, 80.0))
+            phi_in = phi_in + w[i] * att
+            phi_cell = phi_cell + w[i] * absorb
+            if heat_acc is not None:
+                heat_acc = heat_acc + hw[i] * absorb
+        phi_in = nf * phi_in
+        phi_cell = nf * phi_cell
+        phi_out = phi_in - phi_cell
+        photo_cell = phi_cell / vol_ph
+        if cfg.isothermal:
+            heat = jnp.zeros_like(photo_cell)
+        else:
+            heat = nf * heat_acc / vol_ph
+        return photo_cell, phi_in, phi_out, heat
+
+    pc, pi, po, he = one_source(tables.exp_a, tables.exp_w,
+                                tables.heat_exp_w, nflux)
+    if cfg.sed.use_xray_sed and nflux_xray is not None:
+        pc2, pi2, po2, he2 = one_source(tables.xray_exp_a, tables.xray_exp_w,
+                                        tables.xray_heat_exp_w, nflux_xray)
+        pc, pi, po, he = pc + pc2, pi + pi2, po + po2, he + he2
+    return PhotoRates(pc, pi, po, he)
+
+
 def photoion_rates(cfg: RunConfig, tables: RadTables,
                    coldens_in: jax.Array, coldens_out: jax.Array,
                    vol_ph: jax.Array, nflux: jax.Array,
@@ -282,12 +429,15 @@ def photoion_rates(cfg: RunConfig, tables: RadTables,
     (second-order accurate), preserving photon conservation to ~dtau^2/24.
     In float64 the reference's exact thresholds/evaluation points are used.
     """
+    f32 = jnp.result_type(coldens_in) == jnp.float32
+    if cfg.rate_eval == "expsum" or (cfg.rate_eval == "auto" and f32):
+        return photoion_rates_expsum(cfg, tables, coldens_in, coldens_out,
+                                     vol_ph, nflux, nflux_xray)
+
     sigma = const.SIGMA_HI_AT_ION_FREQ
     tau_in = coldens_in * sigma
     tau_out = coldens_out * sigma
     dtau = tau_out - tau_in
-
-    f32 = jnp.result_type(coldens_in) == jnp.float32
     if f32:
         photo_limit = max(cfg.tau_photo_limit, 3e-3)
         heat_limit = max(cfg.tau_heat_limit, 3e-3)

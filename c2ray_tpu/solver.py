@@ -90,8 +90,15 @@ class Evolve3D:
                  rmax_cells: float = 0.0, lls_grid=None,
                  cosmo_cool_coeff: float = 0.0,
                  stats: Optional[PhotonStatistics] = None,
+                 dumper=None, iter_restart: Optional[dict] = None,
                  verbose: bool = False):
-        """One global timestep (evolve3D, evolve.F90:83-281)."""
+        """One global timestep (evolve3D, evolve.F90:83-281).
+
+        dumper: optional utils.checkpoint.IterDumper - writes the
+        double-buffered 15-minute iteration dumps (evolve.F90:253-266).
+        iter_restart: a dict from IterDumper.load to resume mid-iteration
+        (start_from_dump, evolve.F90:328-426).
+        """
         cfg = self.cfg
         n_cells = cfg.n_cells
         dtype = cfg.jnp_dtype
@@ -115,13 +122,19 @@ class Evolve3D:
             c0 = self._counts(ndens_proper, state.xh1, state.temper_av, clump)
             stats.state_before(c0, vol)
 
-        # initialize iterates to the step-initial state (evolve.F90:140-153)
+        # initialize iterates to the step-initial state (evolve.F90:140-153),
+        # or resume from an iteration dump (:154-158)
         xh1 = state.xh1
-        xh_av = xh1
-        xh_int = xh1
         t_cur, t_av, t_int = (state.temper_current, state.temper_av,
                               state.temper_intermed)
-        niter = 0
+        if iter_restart is not None:
+            xh_av = jnp.asarray(iter_restart["xh_av"], dtype)
+            xh_int = jnp.asarray(iter_restart["xh_intermed"], dtype)
+            niter = int(iter_restart["niter"])
+        else:
+            xh_av = xh1
+            xh_int = xh1
+            niter = 0
         conv_flag = n_cells
         prev_sum1 = 2.0 * n_cells
         prev_sum0 = 2.0 * n_cells
@@ -187,6 +200,12 @@ class Evolve3D:
             if not cfg.isothermal:
                 t_int, t_av = chem.temper_intermed, chem.temper_av
             conv_flag = int(chem.conv_flag)
+
+            # wall-clock-driven double-buffered dump (evolve.F90:253-266)
+            if dumper is not None:
+                dumper.maybe_dump(niter, photon_loss, phih, xh_av, xh_int,
+                                  phiheat if not cfg.isothermal else None,
+                                  t_int if not cfg.isothermal else None)
 
             # per-iteration conservation report (global_pass :570-571)
             if stats is not None:

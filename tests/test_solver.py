@@ -203,3 +203,32 @@ class TestLLS:
         assert x[12 + 4, 12, 12] > 0.9       # inside the barrier
         # outside: only the (tiny) collisional drift from the initial value
         assert x[12 + 6, 12, 12] == pytest.approx(cfg.initial_xh, rel=1e-2)
+
+
+class TestNonIsothermal:
+    def test_heating_raises_temperature(self):
+        """Non-isothermal run: photo-heating raises T inside the HII region,
+        leaves it untouched outside (thermal.f90 + heat tables)."""
+        n = 16
+        cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                          cosmological=False, isothermal=False,
+                          initial_temperature=100.0)
+        from c2ray_tpu.ops.thermal import setup_cool
+        tabs = build_rad_tables(cfg)
+        solver = Evolve3D(cfg, tabs, cool=setup_cool(cfg))
+        state = initial_state(cfg)
+        assert state.temper_current is not None
+        ndens = jnp.full((n, n, n), 1.98e-4)
+        src = np.array([[8, 8, 8]], np.int32)
+        nflux = np.array([1e9])
+        dt = 3.1e14
+        for _ in range(2):
+            state, info = solver.evolve3d(state, ndens, 2.9e24, src, nflux, dt)
+        t = np.asarray(state.temper_current)
+        x = np.asarray(state.xh1)
+        assert x[8, 8, 8] > 0.9
+        # ionized gas photo-heated to ~1e4 K; neutral gas stays cold
+        assert t[8, 8, 8] > 3000.0, t[8, 8, 8]
+        assert t[0, 0, 0] == pytest.approx(100.0, rel=1e-3)
+        # temperature states are consistent
+        assert np.all(t >= 100.0 - 1e-6)

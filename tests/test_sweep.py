@@ -6,8 +6,15 @@ import pytest
 
 from c2ray_tpu import constants as const
 from c2ray_tpu.config import test_problem_config as make_config
-from c2ray_tpu.ops.sweep import (SweepScalars, raytrace_all_sources,
+from c2ray_tpu.ops.sweep import (SweepScalars, neutral_density,
+                                 raytrace_all_sources,
                                  sweep_single_source)
+
+
+def sweep1(cfg, tabs, nd, xa, nf, sc, **kw):
+    """Single-source sweep from (density, ionized fraction) fields."""
+    return sweep_single_source(cfg, tabs, neutral_density(cfg, nd, xa),
+                               nf, sc, **kw)
 from c2ray_tpu.ops.tables import build_rad_tables, table_lookup
 
 
@@ -32,7 +39,7 @@ class TestGeometry:
         the k-th axis cell is (k - 1/2) * x0 * nH * dr."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         cdo = np.asarray(res.coldensh_out)
         c = n // 2
         x0col = (1.0 - 0.3) * 2e-5 * dr
@@ -47,7 +54,7 @@ class TestGeometry:
         cell contributing dr/2 and shell-1 diagonal correction sqrt(3)."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         cdo = np.asarray(res.coldensh_out)
         c = n // 2
         x0col = 0.7 * 2e-5 * dr
@@ -66,7 +73,7 @@ class TestGeometry:
         of a uniform medium within the short-characteristics accuracy."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         cdo = np.asarray(res.coldensh_out)
         c = n // 2
         x0col = 0.7 * 2e-5 * dr
@@ -89,7 +96,7 @@ class TestGeometry:
         reference is exact, evolve_source.F90:141-187)."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         phih = np.asarray(res.phih)
         c = n // 2
         # compare mirrored/rotated probes (use cells unaffected by the
@@ -127,7 +134,7 @@ class TestConservation:
         x1g = np.where(inner, 1.0 - 1e-9, 0.3)
         xa = jnp.asarray(x1g)
         nflux = 1.0
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(nflux), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(nflux), sc)
         phih = np.asarray(res.phih)
         x0g = 1.0 - x1g
         absorbed = np.sum(phih * x0g * 2e-6) * dr**3 / cfg.sed.s_star
@@ -142,7 +149,7 @@ class TestConservation:
         saturate)."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         phih = np.asarray(res.phih)
         absorbed = np.sum(phih * 0.7 * 2e-5) * dr**3 / cfg.sed.s_star
         total = absorbed + float(res.photon_loss)
@@ -152,14 +159,14 @@ class TestConservation:
         """An almost fully ionized medium lets nearly everything escape."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n, x1=1.0 - 1e-8, nh=1e-6)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
         assert float(res.photon_loss) == pytest.approx(1.0, rel=1e-2)
 
     def test_max_shell_limits_radius(self):
         """Static sweep radius caps work (subbox analogue)."""
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
-        res = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc,
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc,
                                   max_shell=3)
         phih = np.asarray(res.phih)
         c = n // 2
@@ -171,8 +178,8 @@ class TestConservation:
         n = 16
         cfg, tabs, sc, nd, xa, dr = make_setup(n)
         cfg_b = cfg.replace(shell_bucket_size=3)
-        r1 = sweep_single_source(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
-        r2 = sweep_single_source(cfg_b, tabs, nd, xa, jnp.float64(1.0), sc)
+        r1 = sweep1(cfg, tabs, nd, xa, jnp.float64(1.0), sc)
+        r2 = sweep1(cfg_b, tabs, nd, xa, jnp.float64(1.0), sc)
         np.testing.assert_allclose(np.asarray(r1.phih), np.asarray(r2.phih),
                                    rtol=1e-12)
         assert float(r1.photon_loss) == pytest.approx(float(r2.photon_loss))
