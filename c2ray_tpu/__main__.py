@@ -1,0 +1,76 @@
+"""CLI entry point: python -m c2ray_tpu [input_file] [options].
+
+Mirrors the reference executable's invocation (C2Ray.F90:115-127: the run
+configuration comes from an input file given as argv[1], or interactively
+from stdin).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="c2ray_tpu",
+        description="TPU-native C2-Ray reionization radiative transfer")
+    ap.add_argument("input_file", nargs="?", default=None,
+                    help="run-parameter file in the reference's ordered "
+                         "input protocol (see inputs/input_example_test)")
+    ap.add_argument("--nbody", default="test",
+                    choices=["test", "cubep3m", "LG", "pmfast", "gadget"])
+    ap.add_argument("--mesh", type=int, default=64)
+    ap.add_argument("--boxsize", type=float, default=100.0,
+                    help="comoving box size in Mpc/h")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--isothermal", action="store_true", default=True)
+    ap.add_argument("--non-isothermal", dest="isothermal",
+                    action="store_false")
+    ap.add_argument("--source-dir", default="./")
+    ap.add_argument("--results-dir", default="./results/")
+    ap.add_argument("--n-box", type=int, default=-1)
+    ap.add_argument("--dens-dir", default="")
+    ap.add_argument("--id-str", default="coarsest")
+    ap.add_argument("--max-slices", type=int, default=None)
+    ap.add_argument("--shard-sources", action="store_true",
+                    help="shard sources over all local devices")
+    args = ap.parse_args(argv)
+
+    from .config import test_problem_config
+    from .driver import C2RayDriver, DriverConfig, read_input_file
+    from .models.nbody import cubep3m_adapter, test_adapter
+
+    cfg = test_problem_config(mesh=args.mesh, boxsize_mpc_h=args.boxsize,
+                              dtype=args.dtype, isothermal=args.isothermal)
+
+    if args.input_file:
+        dc = read_input_file(args.input_file, args.nbody)
+    else:
+        dc = DriverConfig()
+    dc.results_dir = args.results_dir
+
+    if args.nbody == "test":
+        adapter = test_adapter(cfg, source_dir=args.source_dir)
+    elif args.nbody == "cubep3m":
+        adapter = cubep3m_adapter(cfg, args.boxsize, args.n_box,
+                                  dc.redshift_file, id_str=args.id_str,
+                                  dir_dens=args.dens_dir,
+                                  dir_src=args.source_dir)
+    else:
+        raise SystemExit(f"nbody adapter {args.nbody!r} not wired to the CLI yet")
+
+    raytracer = None
+    if args.shard_sources:
+        from .parallel.source_shard import make_device_mesh, sharded_raytracer
+        raytracer = sharded_raytracer(make_device_mesh())
+
+    driver = C2RayDriver(cfg, adapter=adapter, driver_cfg=dc,
+                         raytracer=raytracer)
+    driver.run(max_slices=args.max_slices)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
