@@ -186,6 +186,10 @@ class RunConfig:
     num_exp_terms: int = 16
 
     # --- sweep engine knobs (TPU-native; no reference equivalent) ---
+    # wavefront backend: "facemajor" carries the previous shell's planes
+    # in-register with wedge fixups (minimal sequential op count);
+    # "grid" keeps coldensh_out in grid layout (more ops, simpler).
+    sweep_backend: str = "facemajor"
     # static cap on the sweep radius in shells (None = full grid, mesh/2);
     # the TPU analogue of the reference's dynamic subboxes.
     max_shell: Optional[int] = None

@@ -267,6 +267,185 @@ def _column_step(d, cdo, *, cfg: RunConfig, ndhi_faces, lls_faces,
     return cdo
 
 
+def _mirror_b(x: jax.Array) -> jax.Array:
+    """Reflect the last axis about the center index c=N//2 (b -> 2c-b)."""
+    n = x.shape[-1]
+    f = jnp.flip(x, -1)
+    return jnp.roll(f, 1, -1) if n % 2 == 0 else f
+
+
+def _mirror_a(x: jax.Array) -> jax.Array:
+    n = x.shape[-2]
+    f = jnp.flip(x, -2)
+    return jnp.roll(f, 1, -2) if n % 2 == 0 else f
+
+
+def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
+                            dr, n: int):
+    """Face-major wavefront step: from the 6 previous dominant planes
+    (6,N,N) compute the 6 new planes of shell d, wedge-fixed so that each
+    face's plane is valid on its full |t| <= d read extent.
+
+    The wedge fixups replace cross-face reads: shell-cube edge cells are
+    owned by the higher-priority face but appear in the other faces'
+    planes; by the coordinate coincidence at the 45-degree wedges the
+    transfers reduce to elementwise selects of (optionally mirrored /
+    transposed) sibling planes - no gathers, no dynamic indexing.
+
+    Pure function of (6,N,N) arrays: shared by the XLA fori_loop path and
+    the Pallas whole-sweep kernel.
+    """
+    c = n // 2
+    dtype = prev.dtype
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    df = d.astype(dtype) if hasattr(d, "astype") else jnp.asarray(d, dtype)
+    inv_d = 1.0 / df
+
+    ar = np.arange(n) - c
+    ita = jnp.asarray(ar[:, None], jnp.int32)
+    itb = jnp.asarray(ar[None, :], jnp.int32)
+    ta = jnp.asarray(ar[:, None], dtype)
+    tb = jnp.asarray(ar[None, :], dtype)
+
+    pos_a = (ita >= 0)[None, :, :]
+    pos_b = (itb >= 0)[None, :, :]
+
+    def shift_toward_source(x, plane_axis, pos_mask):
+        up = jnp.roll(x, 1, axis=plane_axis)
+        dn = jnp.roll(x, -1, axis=plane_axis)
+        return jnp.where(pos_mask, up, dn)
+
+    c4 = prev
+    c3 = shift_toward_source(prev, 1, pos_a)
+    c2 = shift_toward_source(prev, 2, pos_b)
+    c1 = shift_toward_source(c3, 2, pos_b)
+
+    f_a = jnp.clip((df - jnp.abs(ta)) * inv_d, 0.0, 1.0)
+    f_b = jnp.clip((df - jnp.abs(tb)) * inv_d, 0.0, 1.0)
+    s1 = (1.0 - f_a) * (1.0 - f_b)
+    s2 = f_a * (1.0 - f_b)
+    s3 = (1.0 - f_a) * f_b
+    s4 = f_a * f_b
+
+    def wf(cd):
+        return 1.0 / jnp.maximum(0.6, cd * sigma)
+
+    w1 = s1 * wf(c1)
+    w2 = s2 * wf(c2)
+    w3 = s3 * wf(c3)
+    w4 = s4 * wf(c4)
+    cdensi = (c1 * w1 + c2 * w2 + c3 * w3 + c4 * w4) / (w1 + w2 + w3 + w4)
+
+    a1 = jnp.abs(ita) == 1
+    b1 = jnp.abs(itb) == 1
+    diag = jnp.where(a1 & b1, SQRT3, jnp.where(a1 | b1, SQRT2, 1.0)).astype(dtype)
+    cdensi = jnp.where(d == 1, cdensi * diag, cdensi)
+
+    path = jnp.sqrt((ta * ta + tb * tb) * (inv_d * inv_d) + 1.0)
+    coldensh_in = cdensi
+    if cfg.use_lls and cfg.type_of_lls in (1, 2):
+        coldensh_in = coldensh_in + lcol * path
+    newp = coldensh_in + ndhi_p * (path * dr)
+
+    # ---- wedge fixups (edge cells owned by the higher-priority face) ----
+    on_pa = ita[None, :, :] == d       # row a = c+d
+    on_ma = ita[None, :, :] == -d
+    on_pb = itb[None, :, :] == d       # col b = c+d
+    on_mb = itb[None, :, :] == -d
+    pz, mz = newp[0], newp[1]
+    py, my = newp[2], newp[3]
+    px, mx = newp[4], newp[5]
+    # y planes: |oz| = d columns come from the z planes (same a; b is oz in
+    # the y plane and oy in the z plane, both = +-d -> same/mirrored slot)
+    py = jnp.where(on_pb[0], pz, jnp.where(on_mb[0], _mirror_b(mz), py))
+    my = jnp.where(on_pb[0], _mirror_b(pz), jnp.where(on_mb[0], mz, my))
+    # x planes: |oy| = d rows from the y planes...
+    px = jnp.where(on_pa[0], py, jnp.where(on_ma[0], _mirror_a(my), px))
+    mx = jnp.where(on_pa[0], _mirror_a(py), jnp.where(on_ma[0], my, mx))
+    # ...then |oz| = d columns from the (transposed) z planes; z has top
+    # priority so these overwrite the cube corners
+    tpz = jnp.swapaxes(pz, -1, -2)
+    tmz = jnp.swapaxes(mz, -1, -2)
+    px = jnp.where(on_pb[0], tpz, jnp.where(on_mb[0], _mirror_b(tmz), px))
+    mx = jnp.where(on_pb[0], _mirror_b(tpz), jnp.where(on_mb[0], tmz, mx))
+    return jnp.stack([pz, mz, py, my, px, mx])
+
+
+def _unstage_faces(stacks: jax.Array, n: int, cdo0) -> jax.Array:
+    """Merge face-major planes back to grid layout by cell ownership.
+
+    Inverse of _stage_faces restricted to each face's owned cells (the
+    z>=y>=x tie-breaking partition); the source cell gets cdo0.  Cells
+    beyond the swept radius keep zero columns (masked in the rate pass).
+    """
+    c = n // 2
+    pos_max = n - 1 - c
+    d_max = stacks.shape[0] - 1
+    o = np.arange(n) - c
+    oi = o[:, None, None]
+    oj = o[None, :, None]
+    ok = o[None, None, :]
+    ai, aj, ak = abs(oi), abs(oj), abs(ok)
+    own = [
+        (ok > 0) & (ok >= ai) & (ok >= aj),
+        (ok < 0) & (-ok >= ai) & (-ok >= aj),
+        (oj > 0) & (oj >= ai) & (oj > ak),
+        (oj < 0) & (-oj >= ai) & (-oj > ak),
+        (oi > 0) & (oi > aj) & (oi > ak),
+        (oi < 0) & (-oi > aj) & (-oi > ak),
+    ]
+    out = jnp.zeros((n, n, n), stacks.dtype)
+    for f, (ax, s, _, _) in enumerate(_FACES):
+        navail = min((pos_max if s > 0 else c) + 1, d_max + 1)
+        slab = jnp.moveaxis(stacks[:navail, f], 0, ax)  # planes d=0..navail-1
+        region: List = [slice(None)] * 3
+        if s > 0:
+            region[ax] = slice(c, c + navail)
+        else:
+            stop = c - navail
+            region[ax] = slice(c, stop if stop >= 0 else None, -1)
+        m = jnp.asarray(own[f][tuple(region)])
+        out = out.at[tuple(region)].set(jnp.where(m, slab, out[tuple(region)]))
+    out = out.at[c, c, c].set(cdo0)
+    return out
+
+
+def compute_columns_facemajor(cfg: RunConfig, ndhi_c: jax.Array,
+                              sc: SweepScalars,
+                              lls_c: Optional[jax.Array],
+                              max_shell: int) -> jax.Array:
+    """Face-major wavefront: the loop carries the previous shell's 6
+    planes directly, so each iteration is one field slice + one fused
+    plane update + one stack write - the minimal sequential op count for
+    the XLA backend (per-op overhead dominates plane-sized work on TPU).
+    """
+    n = cfg.mesh[0]
+    c = n // 2
+    dtype = ndhi_c.dtype
+
+    ndhi_faces = _stage_faces(ndhi_c, max_shell)
+    lls_faces = _stage_faces(lls_c, max_shell) if lls_c is not None else None
+
+    cdo0 = ndhi_c[c, c, c] * (0.5 * sc.dr)
+    prev0 = jnp.zeros((6, n, n), dtype).at[:, c, c].set(cdo0)
+    stacks0 = jnp.zeros((max_shell + 1, 6, n, n), dtype)
+
+    def body(d, carry):
+        stacks, prev = carry
+        ndhi_p = lax.dynamic_slice(ndhi_faces, (d, 0, 0, 0), (1, 6, n, n))[0]
+        if lls_faces is not None:
+            lcol = lax.dynamic_slice(lls_faces, (d, 0, 0, 0), (1, 6, n, n))[0]
+        else:
+            lcol = sc.lls_coldens
+        newp = _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg, sc.dr, n)
+        stacks = lax.dynamic_update_slice(stacks, newp[None],
+                                          (d, 0, 0, 0))
+        return (stacks, newp)
+
+    stacks, _ = lax.fori_loop(1, max_shell + 1, body, (stacks0, prev0))
+    return _unstage_faces(stacks, n, cdo0)
+
+
 def compute_columns(cfg: RunConfig, ndhi_c: jax.Array,
                     sc: SweepScalars, lls_c: Optional[jax.Array],
                     max_shell: int) -> jax.Array:
@@ -396,7 +575,10 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
         max_shell = cfg.max_shell if cfg.max_shell is not None else d_max
     max_shell = min(max_shell, min(d_max, cfg.max_subbox))
 
-    cdo = compute_columns(cfg, ndhi_c, sc, lls_c, max_shell)
+    if cfg.sweep_backend == "grid":
+        cdo = compute_columns(cfg, ndhi_c, sc, lls_c, max_shell)
+    else:
+        cdo = compute_columns_facemajor(cfg, ndhi_c, sc, lls_c, max_shell)
     return _rate_pass(cfg, tables, cdo, ndhi_c, nflux, sc, lls_c,
                       max_shell)
 
