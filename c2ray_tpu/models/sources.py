@@ -206,6 +206,12 @@ class SourceModel:
                 flux = np.zeros_like(w)
             else:
                 flux = budget * w / (w.sum() * cfg.sed.s_star)
+        elif model == "Luminosity function":
+            # The reference's menu offers this model but implements no mass
+            # or luminosity recipe for it: it falls through both select
+            # blocks (sourceprops.F90:543-544,576-632), leaving raw halo
+            # masses as "fluxes".  Reproduced for parity.
+            flux = w
         else:
             raise NotImplementedError(f"UV model {model!r}")
 
