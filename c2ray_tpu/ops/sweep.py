@@ -348,26 +348,32 @@ def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
     newp = coldensh_in + ndhi_p * (path * dr)
 
     # ---- wedge fixups (edge cells owned by the higher-priority face) ----
-    on_pa = ita[None, :, :] == d       # row a = c+d
-    on_ma = ita[None, :, :] == -d
-    on_pb = itb[None, :, :] == d       # col b = c+d
-    on_mb = itb[None, :, :] == -d
+    # Layout ops are expensive relative to fused elementwise work on TPU,
+    # so the mirrored/transposed variants are built once for the whole
+    # (6,N,N) stack and the per-face transfers become pure selects.
+    on_pa = (ita == d)[None]           # row a = c+d
+    on_ma = (ita == -d)[None]
+    on_pb = (itb == d)[None]           # col b = c+d
+    on_mb = (itb == -d)[None]
+    fb = _mirror_b(newp)               # b -> 2c-b for all faces at once
+    fa = _mirror_a(newp)
+    fab = _mirror_a(fb)
+    tz = jnp.swapaxes(newp[0:2], -1, -2)
+    tfb = _mirror_b(tz)
     pz, mz = newp[0], newp[1]
-    py, my = newp[2], newp[3]
-    px, mx = newp[4], newp[5]
     # y planes: |oz| = d columns come from the z planes (same a; b is oz in
     # the y plane and oy in the z plane, both = +-d -> same/mirrored slot)
-    py = jnp.where(on_pb[0], pz, jnp.where(on_mb[0], _mirror_b(mz), py))
-    my = jnp.where(on_pb[0], _mirror_b(pz), jnp.where(on_mb[0], mz, my))
-    # x planes: |oy| = d rows from the y planes...
-    px = jnp.where(on_pa[0], py, jnp.where(on_ma[0], _mirror_a(my), px))
-    mx = jnp.where(on_pa[0], _mirror_a(py), jnp.where(on_ma[0], my, mx))
+    py = jnp.where(on_pb[0], pz, jnp.where(on_mb[0], fb[1], newp[2]))
+    my = jnp.where(on_pb[0], fb[0], jnp.where(on_mb[0], mz, newp[3]))
+    # x planes: |oy| = d rows from the (fixed) y planes...
+    fa_py = jnp.where(on_pb[0], fa[0], jnp.where(on_mb[0], fab[1], fa[2]))
+    fa_my = jnp.where(on_pb[0], fab[0], jnp.where(on_mb[0], fa[1], fa[3]))
+    px = jnp.where(on_pa[0], py, jnp.where(on_ma[0], fa_my, newp[4]))
+    mx = jnp.where(on_pa[0], fa_py, jnp.where(on_ma[0], my, newp[5]))
     # ...then |oz| = d columns from the (transposed) z planes; z has top
     # priority so these overwrite the cube corners
-    tpz = jnp.swapaxes(pz, -1, -2)
-    tmz = jnp.swapaxes(mz, -1, -2)
-    px = jnp.where(on_pb[0], tpz, jnp.where(on_mb[0], _mirror_b(tmz), px))
-    mx = jnp.where(on_pb[0], _mirror_b(tpz), jnp.where(on_mb[0], tmz, mx))
+    px = jnp.where(on_pb[0], tz[0], jnp.where(on_mb[0], tfb[1], px))
+    mx = jnp.where(on_pb[0], tfb[0], jnp.where(on_mb[0], tz[1], mx))
     return jnp.stack([pz, mz, py, my, px, mx])
 
 
@@ -430,19 +436,20 @@ def compute_columns_facemajor(cfg: RunConfig, ndhi_c: jax.Array,
     prev0 = jnp.zeros((6, n, n), dtype).at[:, c, c].set(cdo0)
     stacks0 = jnp.zeros((max_shell + 1, 6, n, n), dtype)
 
-    def body(d, carry):
-        stacks, prev = carry
-        ndhi_p = lax.dynamic_slice(ndhi_faces, (d, 0, 0, 0), (1, 6, n, n))[0]
-        if lls_faces is not None:
-            lcol = lax.dynamic_slice(lls_faces, (d, 0, 0, 0), (1, 6, n, n))[0]
-        else:
+    ds = jnp.arange(1, max_shell + 1)
+    lls_xs = lls_faces[1:] if lls_faces is not None else None
+
+    def body(prev, xs):
+        d, ndhi_p, lcol = xs
+        if lcol is None:
             lcol = sc.lls_coldens
         newp = _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg, sc.dr, n)
-        stacks = lax.dynamic_update_slice(stacks, newp[None],
-                                          (d, 0, 0, 0))
-        return (stacks, newp)
+        return newp, newp
 
-    stacks, _ = lax.fori_loop(1, max_shell + 1, body, (stacks0, prev0))
+    # lax.scan slices the staged inputs and stacks the outputs natively
+    # (no explicit dynamic_slice/update ops in the loop body)
+    _, planes = lax.scan(body, prev0, (ds, ndhi_faces[1:], lls_xs))
+    stacks = jnp.concatenate([stacks0[:1], planes])
     return _unstage_faces(stacks, n, cdo0)
 
 
