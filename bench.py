@@ -34,7 +34,7 @@ REFERENCE_CORE_UPDATES_PER_S = 1.0e7
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", type=int, default=256)
-    ap.add_argument("--sources", type=int, default=4)
+    ap.add_argument("--sources", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="64^3 single-source smoke benchmark")

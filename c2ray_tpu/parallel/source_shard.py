@@ -68,6 +68,13 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
     def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
                   srcpos, nflux, sc: SweepScalars, lls_grid=None,
                   max_shell=None):
+        ndev = mesh.devices.size
+        s = int(srcpos.shape[0])
+        pad = (-s) % ndev
+        if pad:
+            srcpos = jnp.concatenate(
+                [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+            nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
 
         def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
             phih, heat, loss, lls_loss, per_src = raytrace_all_sources(
@@ -87,6 +94,8 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
             in_specs=(rep, rep, shard, shard, rep, rep),
             out_specs=(rep, rep, rep, rep, shard),
             check_vma=False)
-        return fn(ndens, xh_av1, srcpos, nflux, sc, lls_grid)
+        phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
+                                                 nflux, sc, lls_grid)
+        return phih, heat, loss, lls_loss, per_src[:s]
 
     return raytracer

@@ -52,7 +52,8 @@ class Evolve3D:
 
     def __init__(self, cfg: RunConfig, tables: RadTables,
                  cool: Optional[CoolingTable] = None,
-                 raytracer: Optional[Callable] = None):
+                 raytracer: Optional[Callable] = None,
+                 chemistry: Optional[Callable] = None):
         self.cfg = cfg
         self.tables = tables
         self.cool = cool
@@ -66,6 +67,11 @@ class Evolve3D:
         @jax.jit
         def _chem(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
                   t_cur, t_av, clumping, cosmo_cool_coeff):
+            if chemistry is not None:
+                # injected distributed variant (parallel/domain.py)
+                return chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
+                                 phih, phiheat, t_cur, t_av, clumping,
+                                 cool, cosmo_cool_coeff)
             return global_chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
                                     phih, phiheat, t_cur, t_av, clumping,
                                     cool, cosmo_cool_coeff)

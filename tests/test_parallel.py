@@ -94,3 +94,27 @@ def test_solver_with_sharded_raytracer():
         results[key] = (np.asarray(state.xh1), info.mean_xh1)
     np.testing.assert_allclose(results["sharded"][0], results["serial"][0],
                                rtol=1e-10)
+
+
+def test_sharded_chemistry_in_solver():
+    """Slab-sharded chemistry (parallel phase 2) matches the serial solver."""
+    from c2ray_tpu.parallel.domain import sharded_chemistry
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    srcpos = np.array([[8, 8, 8]], np.int32)
+    nflux = np.array([1e9])
+    ndens = jnp.full((n, n, n), 1.98e-4)
+    mesh = make_device_mesh(8)
+    results = {}
+    for key, kw in [("serial", {}),
+                    ("domain", dict(raytracer=sharded_raytracer(mesh),
+                                    chemistry=sharded_chemistry(mesh)))]:
+        solver = Evolve3D(cfg, tabs, **kw)
+        state = initial_state(cfg)
+        state, info = solver.evolve3d(state, ndens, 2.9e24, srcpos, nflux,
+                                      3.1e14)
+        results[key] = np.asarray(state.xh1)
+    np.testing.assert_allclose(results["domain"], results["serial"],
+                               rtol=1e-12)
