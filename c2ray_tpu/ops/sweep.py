@@ -267,17 +267,32 @@ def _column_step(d, cdo, *, cfg: RunConfig, ndhi_faces, lls_faces,
     return cdo
 
 
+def _mirror_perm(n: int, dtype) -> jax.Array:
+    """Permutation matrix P with P[i,j]=1 iff i = (2c - j) mod n (c = n//2):
+    the reflection about the center index.  Built from iota (no captured
+    constants) so it traces inside Pallas kernels; applying it via the MXU
+    is exact (one nonzero per row) and a single op, unlike flip+roll
+    (lax.rev has no Mosaic lowering)."""
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((rows + cols) % n == (2 * (n // 2)) % n).astype(dtype)
+
+
 def _mirror_b(x: jax.Array) -> jax.Array:
     """Reflect the last axis about the center index c=N//2 (b -> 2c-b)."""
-    n = x.shape[-1]
-    f = jnp.flip(x, -1)
-    return jnp.roll(f, 1, -1) if n % 2 == 0 else f
+    p = _mirror_perm(x.shape[-1], x.dtype)
+    return jax.lax.dot_general(x, p, (((x.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=x.dtype)
 
 
 def _mirror_a(x: jax.Array) -> jax.Array:
+    """Reflect the second-to-last axis about the center index."""
     n = x.shape[-2]
-    f = jnp.flip(x, -2)
-    return jnp.roll(f, 1, -2) if n % 2 == 0 else f
+    p = _mirror_perm(n, x.dtype)   # symmetric
+    # out[.., i, b] = sum_a x[.., a, b] P[a, i]  (P symmetric)
+    out = jax.lax.dot_general(x, p, (((x.ndim - 2,), (0,)), ((), ())),
+                              preferred_element_type=x.dtype)
+    return jnp.swapaxes(out, -1, -2)
 
 
 def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
@@ -301,11 +316,12 @@ def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
     df = d.astype(dtype) if hasattr(d, "astype") else jnp.asarray(d, dtype)
     inv_d = 1.0 / df
 
-    ar = np.arange(n) - c
-    ita = jnp.asarray(ar[:, None], jnp.int32)
-    itb = jnp.asarray(ar[None, :], jnp.int32)
-    ta = jnp.asarray(ar[:, None], dtype)
-    tb = jnp.asarray(ar[None, :], dtype)
+    # transverse offset coordinates via iota (no captured constants, so the
+    # same function traces inside Pallas kernels)
+    ita = lax.broadcasted_iota(jnp.int32, (n, 1), 0) - c
+    itb = lax.broadcasted_iota(jnp.int32, (1, n), 1) - c
+    ta = ita.astype(dtype)
+    tb = itb.astype(dtype)
 
     pos_a = (ita >= 0)[None, :, :]
     pos_b = (itb >= 0)[None, :, :]
@@ -632,18 +648,42 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
 
     ndhi = neutral_density(cfg, ndens, xh_av1)
 
-    def sweep_one(pos, nf):
-        shifts = c - pos
-        ndhi_c = roll3(ndhi, shifts)
-        lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
-        res = sweep_single_source(cfg, tables, ndhi_c, nf, sc,
-                                  lls_c=lls_c, max_shell=max_shell)
-        phih_g = roll3(res.phih, pos - c)
-        heat_g = (roll3(res.phiheat, pos - c) if not cfg.isothermal
-                  else res.phiheat)
-        return phih_g, heat_g, res.photon_loss, res.lls_loss
+    d_sweep = max_shell
+    if d_sweep is None:
+        d_sweep = cfg.max_shell if cfg.max_shell is not None else c
+    d_sweep = min(d_sweep, min(c, cfg.max_subbox))
 
-    vsweep = jax.vmap(sweep_one)
+    use_pallas = False
+    if cfg.sweep_backend == "pallas" and lls_grid is None:
+        from .sweep_pallas import compute_columns_pallas, \
+            pallas_sweep_available
+        use_pallas = pallas_sweep_available(cfg, lls_grid)
+
+    if use_pallas:
+        def vsweep(pos_b, nf_b):
+            ndhi_cb = jax.vmap(lambda p: roll3(ndhi, c - p))(pos_b)
+            cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep)
+            res_b = jax.vmap(
+                lambda cdo, x, f: _rate_pass(cfg, tables, cdo, x, f, sc,
+                                             None, d_sweep))(
+                cdo_b, ndhi_cb, nf_b)
+            ph = jax.vmap(lambda p, q: roll3(p, q - c))(res_b.phih, pos_b)
+            he = (jax.vmap(lambda p, q: roll3(p, q - c))(res_b.phiheat, pos_b)
+                  if not cfg.isothermal else res_b.phiheat)
+            return ph, he, res_b.photon_loss, res_b.lls_loss
+    else:
+        def sweep_one(pos, nf):
+            shifts = c - pos
+            ndhi_c = roll3(ndhi, shifts)
+            lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
+            res = sweep_single_source(cfg, tables, ndhi_c, nf, sc,
+                                      lls_c=lls_c, max_shell=max_shell)
+            phih_g = roll3(res.phih, pos - c)
+            heat_g = (roll3(res.phiheat, pos - c) if not cfg.isothermal
+                      else res.phiheat)
+            return phih_g, heat_g, res.photon_loss, res.lls_loss
+
+        vsweep = jax.vmap(sweep_one)
 
     def one_batch(carry, inp):
         phih_g, heat_g, loss_t, lls_t = carry

@@ -1,0 +1,105 @@
+"""Pallas whole-sweep column kernel.
+
+The XLA wavefront loop pays a fixed per-HLO-op cost every shell (the
+dominant cost on TPU for plane-sized work); this kernel runs the ENTIRE
+shell march as one Pallas program: grid = (batch, shells), the previous
+shell's 6 face planes live in VMEM scratch across grid steps, and each
+step is a single fused kernel invocation (plane update + wedge fixups)
+with pipelined HBM block I/O.
+
+Shares the exact plane-update math with the XLA backend
+(ops.sweep._wavefront_plane_update), so results are identical by
+construction; a CPU-interpret-mode test asserts it.
+
+Restrictions of this first kernel: scalar LLS models only (the grid LLS
+variant falls back to the XLA backend), N*N*6*4B blocks must fit VMEM
+(N <= ~320 for float32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RunConfig
+from .sweep import SweepScalars, _stage_faces, _unstage_faces, \
+    _wavefront_plane_update
+
+
+def _kernel(params_ref, ndhi_ref, out_ref, prev_ref, *, cfg: RunConfig,
+            n: int):
+    bi = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    d = d_idx + 1                      # shell number
+    c = n // 2
+
+    @pl.when(d_idx == 0)
+    def _():
+        # shell-0 state: zeros + the source cell's half-cell column
+        # (evolve_point.F90:151-160)
+        prev_ref[...] = jnp.zeros_like(prev_ref)
+        prev_ref[:, c, c] = jnp.full((6,), params_ref[bi, 2],
+                                     prev_ref.dtype)
+
+    dr = params_ref[bi, 0]
+    lcol = params_ref[bi, 1]
+    newp = _wavefront_plane_update(prev_ref[...], ndhi_ref[0, 0], lcol,
+                                   d, cfg, dr, n)
+    out_ref[0, 0] = newp
+    prev_ref[...] = newp
+
+
+def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
+                           sc: SweepScalars, max_shell: int) -> jax.Array:
+    """Batched column march: (B,N,N,N) source-centered neutral densities ->
+    (B,N,N,N) coldensh_out fields."""
+    b, n = ndhi_cb.shape[0], ndhi_cb.shape[1]
+    c = n // 2
+    dtype = ndhi_cb.dtype
+
+    ndhi_faces = jax.vmap(lambda x: _stage_faces(x, max_shell))(ndhi_cb)
+    cdo0 = ndhi_cb[:, c, c, c] * (0.5 * sc.dr)
+    params = jnp.stack([
+        jnp.broadcast_to(sc.dr, (b,)).astype(dtype),
+        jnp.broadcast_to(sc.lls_coldens, (b,)).astype(dtype),
+        cdo0.astype(dtype),
+        jnp.zeros((b,), dtype),
+    ], axis=1)                                       # (B, 4)
+
+    grid = (b, max_shell)
+    out = pl.pallas_call(
+        partial(_kernel, cfg=cfg, n=n),
+        grid=grid,
+        in_specs=[
+            # whole params array resident in SMEM; indexed by program id
+            pl.BlockSpec((b, 4), lambda bi, di: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 6, n, n), lambda bi, di: (bi, di + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 6, n, n),
+                               lambda bi, di: (bi, di, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, max_shell, 6, n, n), dtype),
+        scratch_shapes=[pltpu.VMEM((6, n, n), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(params, ndhi_faces)
+
+    zeros0 = jnp.zeros((b, 1, 6, n, n), dtype)
+    stacks = jnp.concatenate([zeros0, out], axis=1)
+    return jax.vmap(_unstage_faces, in_axes=(0, None, 0))(stacks, n, cdo0)
+
+
+def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:
+    n = cfg.mesh[0]
+    vmem_need = 6 * n * n * 4 * 5      # prev + ~2x in + ~2x out buffers
+    return (cfg.sweep_backend == "pallas" and lls_c is None
+            and vmem_need < 12 * 1024 * 1024)

@@ -1,0 +1,44 @@
+"""Pallas whole-sweep kernel: interpret-mode equivalence with the XLA path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from c2ray_tpu.config import test_problem_config as make_config
+from c2ray_tpu.ops.sweep import SweepScalars, compute_columns_facemajor
+from c2ray_tpu.ops.sweep_pallas import compute_columns_pallas
+
+
+@pytest.mark.parametrize("n", [16, 24])
+def test_pallas_columns_match_xla(n):
+    cfg = make_config(mesh=n, dtype="float32", use_lls=True, type_of_lls=1,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(5e16), jnp.float32(0))
+    rng = np.random.default_rng(n)
+    ndhi_b = jnp.asarray(
+        (rng.uniform(0.2, 1.0, (2, n, n, n)) * 2e-4).astype(np.float32))
+    ref = jax.vmap(
+        lambda x: compute_columns_facemajor(cfg, x, sc, None, n // 2))(ndhi_b)
+    with pltpu.force_tpu_interpret_mode():
+        out = compute_columns_pallas(cfg, ndhi_b, sc, n // 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_pallas_partial_radius():
+    n = 16
+    cfg = make_config(mesh=n, dtype="float32", use_lls=False,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(0), jnp.float32(0))
+    ndhi_b = jnp.full((1, n, n, n), np.float32(2e-4))
+    ref = jax.vmap(
+        lambda x: compute_columns_facemajor(cfg, x, sc, None, 3))(ndhi_b)
+    with pltpu.force_tpu_interpret_mode():
+        out = compute_columns_pallas(cfg, ndhi_b, sc, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
