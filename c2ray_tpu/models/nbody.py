@@ -159,3 +159,45 @@ def cubep3m_adapter(cfg: RunConfig, boxsize: float, n_box: int,
                         n_box=n_box, id_str=id_str, dir_dens=dir_dens,
                         dir_src=dir_src, density_unit=density_unit,
                         zred_array=zreds)
+
+
+def lg_adapter(cfg: RunConfig, boxsize: float, n_box: int,
+               redshift_file: str, id_str: str = "dmdens_cic",
+               dir_dens: str = "", dir_src: str = "",
+               density_unit: str = "mass_density") -> NbodyAdapter:
+    """Local Group (CLUES) simulation adapter (nbody_LG.F90): snapshot
+    numbers in file names, mass-density units."""
+    with open(redshift_file) as f:
+        n = int(f.readline().split()[0])
+        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+    return NbodyAdapter(cfg=cfg, nbody_type="LG", boxsize=boxsize,
+                        n_box=n_box, id_str=id_str, dir_dens=dir_dens,
+                        dir_src=dir_src, density_unit=density_unit,
+                        zred_array=zreds)
+
+
+def pmfast_adapter(cfg: RunConfig, boxsize: float, n_box: int,
+                   redshift_file: str, id_str: str = "coarse",
+                   dir_dens: str = "", dir_src: str = "",
+                   density_unit: str = "grid") -> NbodyAdapter:
+    """PMFAST simulation adapter (nbody_pmfast.F90)."""
+    with open(redshift_file) as f:
+        n = int(f.readline().split()[0])
+        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+    return NbodyAdapter(cfg=cfg, nbody_type="pmfast", boxsize=boxsize,
+                        n_box=n_box, id_str=id_str, dir_dens=dir_dens,
+                        dir_src=dir_src, density_unit=density_unit,
+                        zred_array=zreds)
+
+
+def gadget_adapter(cfg: RunConfig, boxsize: float,
+                   redshift_file: str, dir_dens: str = "",
+                   dir_src: str = "",
+                   density_unit: str = "mass_density") -> NbodyAdapter:
+    """GADGET simulation adapter (nbody_gadget.F90)."""
+    with open(redshift_file) as f:
+        n = int(f.readline().split()[0])
+        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+    return NbodyAdapter(cfg=cfg, nbody_type="gadget", boxsize=boxsize,
+                        id_str="gadget", dir_dens=dir_dens, dir_src=dir_src,
+                        density_unit=density_unit, zred_array=zreds)
