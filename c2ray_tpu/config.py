@@ -196,6 +196,12 @@ class RunConfig:
     # how many Chebyshev shells are grouped per lax.scan bucket; 0 = fully
     # unrolled. Buckets trade padding overhead for small compiled graphs.
     shell_bucket_size: int = 0
+    # adaptive per-source sweep radii (the reference's subbox work limiting,
+    # evolve_source.F90:128-136): sources start at a flux-estimated radius
+    # from a power-of-two ladder and are promoted between convergence
+    # iterations while their escaping-photon fraction exceeds loss_fraction.
+    adaptive_sweep: bool = False
+    adaptive_min_shell: int = 8
     # number of sources swept per vmapped batch inside one scan step.
     source_batch: int = 1
 

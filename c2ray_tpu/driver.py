@@ -14,8 +14,7 @@ inputs/input_example* files drive this framework unchanged.
 from __future__ import annotations
 
 import os
-import time as walltime
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 from . import constants as const
 from .config import RunConfig
 from .cosmology import CosmoClock
-from .models.clumping import ClumpingModel, load_clumping_model
+from .models.clumping import ClumpingModel, load_clumping_model  # noqa: F401 (loader re-exported for drivers)
 from .models.lls import set_lls
 from .models.nbody import NbodyAdapter, test_adapter
 from .models.sources import SourceModel, sort_sources_by_flux

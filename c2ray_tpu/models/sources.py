@@ -13,7 +13,7 @@ catalog stores 0-based grid indices.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .. import constants as const
 from ..config import RunConfig
 from .doric import doric, electrondens
 from .thermal import CoolingTable, thermal

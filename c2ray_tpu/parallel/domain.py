@@ -34,7 +34,6 @@ from typing import Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -18,7 +18,6 @@ in tests (xla_force_host_platform_device_count).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -26,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RunConfig
 from ..ops.sweep import SweepScalars, raytrace_all_sources

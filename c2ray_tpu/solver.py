@@ -11,7 +11,6 @@ the vectorized chemistry pass).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import numpy as np
@@ -19,10 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import constants as const
 from .config import RunConfig
 from .ops.chemistry import global_chemistry
-from .ops.photonstats import GridCounts, PhotonStatistics, grid_counts
+from .ops.photonstats import PhotonStatistics, grid_counts
 from .ops.sweep import SweepScalars, raytrace_all_sources
 from .ops.tables import RadTables
 from .ops.thermal import CoolingTable
@@ -64,6 +62,13 @@ class Evolve3D:
             return rt(cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
                       lls_grid=lls_grid)
 
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnames=("max_shell",))
+        def _sweep_r(ndens, xh_av1, srcpos, nflux, sc, lls_grid, max_shell):
+            return rt(cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
+                      lls_grid=lls_grid, max_shell=max_shell)
+
         @jax.jit
         def _chem(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
                   t_cur, t_av, clumping, cosmo_cool_coeff):
@@ -85,9 +90,74 @@ class Evolve3D:
             return jnp.sum(x)
 
         self._sweep = _sweep
+        self._sweep_r = _sweep_r
         self._chem = _chem
         self._counts = _counts
         self._sum = _sum
+
+    # ------------------------------------------------------------------
+    def _radius_ladder(self):
+        n = self.cfg.mesh[0]
+        d_max = n // 2
+        r = max(2, self.cfg.adaptive_min_shell)
+        ladder = []
+        while r < d_max:
+            ladder.append(r)
+            r *= 2
+        ladder.append(d_max)
+        return ladder
+
+    def _initial_radii(self, nflux_np, ndens_mean, dr, dt):
+        """Strömgren-style initial radius estimate per source, snapped up
+        to the ladder (replaces the first subbox growth passes)."""
+        cfg = self.cfg
+        ladder = self._radius_ladder()
+        s_phys = np.maximum(nflux_np, 1e-300) * cfg.sed.s_star
+        r_est = (3.0 * s_phys * dt / (4.0 * np.pi * ndens_mean)) ** (1.0 / 3.0)
+        cells = 1.3 * r_est / dr
+        assign = np.searchsorted(np.asarray(ladder), cells)
+        return np.minimum(assign, len(ladder) - 1).astype(np.int64)
+
+    def _adaptive_sweep(self, ndens, xh_av, srcpos_np, nflux_np, srcpos,
+                        nflux, sc, lls_grid, assign):
+        """Sweep sources grouped by their assigned radius; promote leaky
+        sources for the next convergence iteration (the TPU analogue of
+        the reference's subbox growth loop, evolve_source.F90:128-212)."""
+        cfg = self.cfg
+        dtype = cfg.jnp_dtype
+        n = cfg.mesh[0]
+        ladder = self._radius_ladder()
+        s = len(nflux_np)
+        phih = jnp.zeros((n, n, n), dtype)
+        heat = (jnp.zeros((n, n, n), dtype) if not cfg.isothermal
+                else jnp.zeros((), dtype))
+        loss = 0.0
+        lls_loss = 0.0
+        per_src = np.zeros(s)
+        for b, radius in enumerate(ladder):
+            idx = np.where(assign == b)[0]
+            if len(idx) == 0:
+                continue
+            cap = 1 << (len(idx) - 1).bit_length()   # pad to pow2 capacity
+            pos_p = np.zeros((cap, 3), np.int32)
+            flux_p = np.zeros(cap)
+            pos_p[:len(idx)] = srcpos_np[idx]
+            flux_p[:len(idx)] = nflux_np[idx]
+            ph, he, lo, ll, ps = self._sweep_r(
+                ndens, xh_av, jnp.asarray(pos_p),
+                jnp.asarray(flux_p, dtype), sc, lls_grid, max_shell=radius)
+            phih = phih + ph
+            if not cfg.isothermal:
+                heat = heat + he
+            loss += float(lo)
+            lls_loss += float(ll)
+            per_src[idx] = np.asarray(ps)[:len(idx)]
+        # promotion: escaping photons above loss_fraction of the source's
+        # output (c2ray_parameters.f90:67)
+        leaked = per_src > cfg.loss_fraction * np.maximum(nflux_np, 1e-300)
+        new_assign = np.where(leaked & (assign < len(ladder) - 1),
+                              assign + 1, assign)
+        return phih, heat, loss, lls_loss, per_src, new_assign
 
     # ------------------------------------------------------------------
     def evolve3d(self, state: GridState, ndens_proper: jax.Array,
@@ -110,9 +180,12 @@ class Evolve3D:
         dtype = cfg.jnp_dtype
         vol = float(dr_proper) ** 3
 
+        srcpos_np = np.asarray(srcpos, np.int64)
+        nflux_np = np.asarray(nflux, np.float64)
         srcpos = jnp.asarray(srcpos, jnp.int32)
         nflux = jnp.asarray(nflux, dtype)
         num_src = int(srcpos.shape[0])
+        radius_assign = None             # adaptive subbox state (per step)
 
         sc = SweepScalars(
             dr=jnp.asarray(dr_proper, dtype),
@@ -190,11 +263,21 @@ class Evolve3D:
 
             # pass over all sources (rates implicitly zeroed by functional
             # accumulation; evolve.F90:243-246)
-            phih, phiheat, ploss, llsl, psrc = self._sweep(
-                ndens_proper, xh_av, srcpos, nflux, sc, lls_grid)
-            photon_loss = float(ploss)
-            lls_loss = float(llsl)
-            per_src_loss = np.asarray(psrc)
+            if cfg.adaptive_sweep:
+                if radius_assign is None:
+                    nd_mean = float(jnp.mean(ndens_proper))
+                    radius_assign = self._initial_radii(
+                        nflux_np, nd_mean, float(dr_proper), dt)
+                (phih, phiheat, photon_loss, lls_loss, per_src_loss,
+                 radius_assign) = self._adaptive_sweep(
+                    ndens_proper, xh_av, srcpos_np, nflux_np, srcpos, nflux,
+                    sc, lls_grid, radius_assign)
+            else:
+                phih, phiheat, ploss, llsl, psrc = self._sweep(
+                    ndens_proper, xh_av, srcpos, nflux, sc, lls_grid)
+                photon_loss = float(ploss)
+                lls_loss = float(llsl)
+                per_src_loss = np.asarray(psrc)
 
             # global chemistry pass (evolve.F90:269, global_pass :499-573)
             chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,

@@ -9,7 +9,7 @@ parity-checkable observables of the reference (SURVEY.md 5.5).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

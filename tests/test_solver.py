@@ -232,3 +232,35 @@ class TestNonIsothermal:
         assert t[0, 0, 0] == pytest.approx(100.0, rel=1e-3)
         # temperature states are consistent
         assert np.all(t >= 100.0 - 1e-6)
+
+
+class TestAdaptiveSweep:
+    def test_adaptive_matches_full_sweep(self):
+        """Adaptive per-source radii (subbox analogue) reproduce the
+        full-grid sweep once promotion converges."""
+        n = 32
+        base = dict(mesh=n, dtype="float64", use_lls=False,
+                    cosmological=False)
+        nh = 1.98e-4
+        dr = 5.7e24 / 2
+        src = np.array([[16, 16, 16], [4, 28, 9]], np.int32)
+        nflux = np.array([1e57, 1e55]) / 1e48
+        dt = 0.01 / (const.BH00 * nh)
+        results = {}
+        for key, extra in [("full", {}),
+                           ("adaptive", dict(adaptive_sweep=True,
+                                             adaptive_min_shell=4))]:
+            cfg = make_config(**base, **extra)
+            tabs = build_rad_tables(cfg)
+            solver = Evolve3D(cfg, tabs)
+            state = initial_state(cfg)
+            ndens = jnp.full((n, n, n), nh)
+            for _ in range(2):
+                state, info = solver.evolve3d(state, ndens, dr, src, nflux, dt)
+            results[key] = np.asarray(state.xh1)
+        # fronts are well inside the box; the capped sweeps converge to the
+        # same answer after promotion
+        diff = np.abs(results["adaptive"] - results["full"])
+        assert diff.max() < 1e-3, diff.max()
+        assert np.mean(results["adaptive"]) == pytest.approx(
+            np.mean(results["full"]), rel=1e-3)
