@@ -50,6 +50,10 @@ def main():
         args.mesh, args.sources, args.iters = 64, 4, 2
 
     import jax
+    # persistent compilation cache: repeat benches skip the multi-minute
+    # remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
