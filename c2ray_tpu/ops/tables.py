@@ -315,15 +315,19 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
     # physical cgs with float64 throughout).  Physical rates are recovered
     # with host-side f64 scale factors (see sweep.py rate_scale).
     s = props.s_star
+    sx = sed.pl_s_star          # X-ray fluxes are normalized by S_star_xray
     dt = cfg.np_dtype
     as_dev = lambda a: jnp.asarray((np.asarray(a) / s).astype(dt))
+    as_dev_x = lambda a: jnp.asarray((np.asarray(a) / sx).astype(dt))
     as_dev_raw = lambda a: jnp.asarray(np.asarray(a).astype(dt))
     return RadTables(as_dev(pt), as_dev(pn), as_dev(ht), as_dev(hn),
-                     as_dev(xpt), as_dev(xpn), as_dev(xht), as_dev(xhn),
+                     as_dev_x(xpt), as_dev_x(xpn), as_dev_x(xht),
+                     as_dev_x(xhn),
                      exp_a=as_dev_raw(exp_a), exp_w=as_dev(exp_w),
                      heat_exp_w=as_dev(heat_exp_w),
-                     xray_exp_a=as_dev_raw(xexp_a), xray_exp_w=as_dev(xexp_w),
-                     xray_heat_exp_w=as_dev(xheat_exp_w))
+                     xray_exp_a=as_dev_raw(xexp_a),
+                     xray_exp_w=as_dev_x(xexp_w),
+                     xray_heat_exp_w=as_dev_x(xheat_exp_w))
 
 
 # ---------------------------------------------------------------------------

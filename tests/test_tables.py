@@ -139,3 +139,28 @@ class TestPhotoionRates:
         # the thick-difference and thin-derivative estimates differ by the
         # table's local interpolation error (~0.6%, same as the reference)
         assert v[1] == pytest.approx(v[0] * (dtau_hi / dtau_lo), rel=2e-2)
+
+
+class TestXraySED:
+    def test_xray_tables_and_rates(self):
+        """X-ray (power-law) source path: tables built, rates additive
+        (radiation_photoionrates.F90:133-138,167-173)."""
+        from c2ray_tpu.config import SEDConfig
+        cfg = make_config(mesh=8, dtype="float64",
+                          sed=SEDConfig(use_xray_sed=True))
+        t = build_rad_tables(cfg)
+        assert float(t.xray_photo_thick[0]) == pytest.approx(1.0, rel=1e-8)
+        cin = jnp.asarray([1e17])
+        cout = jnp.asarray([2e17])
+        vol = jnp.ones(1)
+        r_b = photoion_rates(cfg, t, cin, cout, vol, jnp.asarray(1.0))
+        r_bx = photoion_rates(cfg, t, cin, cout, vol, jnp.asarray(1.0),
+                              nflux_xray=jnp.asarray(1.0))
+        # adding an X-ray component strictly increases the cell rate, and
+        # the X-ray (harder PL) component penetrates relatively more
+        assert float(r_bx.photo_cell[0]) > float(r_b.photo_cell[0])
+        r_x_only = photoion_rates(cfg, t, cin, cout, vol, jnp.asarray(0.0),
+                                  nflux_xray=jnp.asarray(1.0))
+        assert float(r_bx.photo_cell[0]) == pytest.approx(
+            float(r_b.photo_cell[0]) + float(r_x_only.photo_cell[0]),
+            rel=1e-12)
