@@ -557,13 +557,20 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     lls_loss = jnp.zeros((), dtype)
     if cfg.use_lls and cfg.type_of_lls in (1, 2):
         lcol = lls_c if lls_c is not None else sc.lls_coldens
-        # Photons absorbed by the LLS fog.  NOTE: physically correct
-        # accounting with phi.photo_in; the reference passes its
-        # never-assigned photo_in_HI field here (evolve_point.F90:269,
-        # radiation_photoionrates.F90:438-452), making its tally always 0.
-        tau_lls = sigma * lcol * path
-        lls_loss = jnp.sum(jnp.where(
-            live, phi.photo_in / vol_ph * (-jnp.expm1(-tau_lls)), 0.0))
+        # Photons absorbed by the LLS fog: the exact spectral gap between
+        # the pre-LLS and post-LLS incoming columns (evaluated with the
+        # same photon-conserving machinery).  NOTE: the reference's tally
+        # is broken twice over - it passes its never-assigned photo_in_HI
+        # field (evolve_point.F90:269, radiation_photoionrates.F90:438-452,
+        # so it always adds 0) and its formula is grey-only by its own
+        # comment (photonstatistics.F90:243-247).  This version closes the
+        # photon budget with LLS absorption enabled.
+        cold_pre = jnp.maximum(coldensh_in - lcol * path, 0.0)
+        phi_lls = photoion_rates(cfg, tables, cold_pre, coldensh_in,
+                                 vol_ph, nflux)
+        # rate * vol/vol_ph with vol = 1 cell: photo_cell already carries
+        # the /vol_ph factor
+        lls_loss = jnp.sum(jnp.where(live, phi_lls.photo_cell, 0.0))
 
     return SweepResult(gamma, heat, loss, lls_loss, cdo)
 
