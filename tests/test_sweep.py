@@ -217,3 +217,31 @@ class TestMultiSource:
                                    np.asarray(r1[0]) + np.asarray(r2[0]),
                                    rtol=1e-10)
         assert float(rb[2]) == pytest.approx(float(r1[2]) + float(r2[2]))
+
+
+def test_grid_backend_matches_facemajor():
+    """Both wavefront backends produce identical columns and rates."""
+    n = 16
+    results = {}
+    for backend in ("grid", "facemajor"):
+        cfg = make_config(mesh=n, dtype="float64", use_lls=True,
+                          type_of_lls=1, grey=False,
+                          sweep_backend=backend)
+        tabs = build_rad_tables(cfg)
+        dr = 2.9e24
+        sc = SweepScalars(jnp.float64(dr),
+                          jnp.float64(cfg.sed.s_star / dr**3),
+                          jnp.float64(5e16), jnp.float64(0))
+        rng = np.random.default_rng(7)
+        nd = jnp.asarray(rng.uniform(0.5, 2.0, (n, n, n)) * 2e-4)
+        xa = jnp.asarray(rng.uniform(0.0, 0.9, (n, n, n)))
+        res = sweep1(cfg, tabs, nd, xa, jnp.float64(1e9), sc)
+        results[backend] = (np.asarray(res.phih),
+                            np.asarray(res.coldensh_out),
+                            float(res.photon_loss))
+    np.testing.assert_allclose(results["grid"][1], results["facemajor"][1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(results["grid"][0], results["facemajor"][0],
+                               rtol=1e-9)
+    assert results["grid"][2] == pytest.approx(results["facemajor"][2],
+                                               rel=1e-9)
