@@ -279,10 +279,17 @@ def _mirror_perm(n: int, dtype) -> jax.Array:
 
 
 def _mirror_b(x: jax.Array) -> jax.Array:
-    """Reflect the last axis about the center index c=N//2 (b -> 2c-b)."""
+    """Reflect the last axis about the center index c=N//2 (b -> 2c-b).
+
+    precision=HIGHEST is required: the TPU MXU's default f32 precision
+    rounds operands to bf16, which corrupts the *selected values* of a
+    one-hot permutation product (~0.4% relative error measured at 256^3);
+    HIGHEST makes the one-hot contraction exact.
+    """
     p = _mirror_perm(x.shape[-1], x.dtype)
     return jax.lax.dot_general(x, p, (((x.ndim - 1,), (0,)), ((), ())),
-                               preferred_element_type=x.dtype)
+                               preferred_element_type=x.dtype,
+                               precision=lax.Precision.HIGHEST)
 
 
 def _mirror_a(x: jax.Array) -> jax.Array:
@@ -291,7 +298,8 @@ def _mirror_a(x: jax.Array) -> jax.Array:
     p = _mirror_perm(n, x.dtype)   # symmetric
     # out[.., i, b] = sum_a x[.., a, b] P[a, i]  (P symmetric)
     out = jax.lax.dot_general(x, p, (((x.ndim - 2,), (0,)), ((), ())),
-                              preferred_element_type=x.dtype)
+                              preferred_element_type=x.dtype,
+                              precision=lax.Precision.HIGHEST)
     return jnp.swapaxes(out, -1, -2)
 
 
@@ -416,16 +424,24 @@ def _unstage_faces(stacks: jax.Array, n: int, cdo0) -> jax.Array:
         (oi > 0) & (oi > aj) & (oi > ak),
         (oi < 0) & (-oi > aj) & (-oi > ak),
     ]
+    # NOTE: only forward-stride regions below.  The natural formulation for
+    # the negative faces - region slice(c, stop, -1) with the slab in
+    # ascending-d order - is MISCOMPILED by XLA:TPU when this function is
+    # vmapped with batch >= 4 (observed at 256^3: wrong values throughout,
+    # bitwise-correct at batch <= 2/3 and on CPU).  Keeping the reversal as
+    # a standalone jnp.flip on the slab and writing forward-stride regions
+    # compiles correctly (validated bitwise vs single-source at batch 16).
     out = jnp.zeros((n, n, n), stacks.dtype)
     for f, (ax, s, _, _) in enumerate(_FACES):
         navail = min((pos_max if s > 0 else c) + 1, d_max + 1)
-        slab = jnp.moveaxis(stacks[:navail, f], 0, ax)  # planes d=0..navail-1
+        slab = stacks[:navail, f]                       # planes d=0..navail-1
         region: List = [slice(None)] * 3
         if s > 0:
             region[ax] = slice(c, c + navail)
         else:
-            stop = c - navail
-            region[ax] = slice(c, stop if stop >= 0 else None, -1)
+            region[ax] = slice(c - navail + 1, c + 1)
+            slab = jnp.flip(slab, 0)
+        slab = jnp.moveaxis(slab, 0, ax)
         m = jnp.asarray(own[f][tuple(region)])
         out = out.at[tuple(region)].set(jnp.where(m, slab, out[tuple(region)]))
     out = out.at[c, c, c].set(cdo0)
@@ -497,7 +513,8 @@ def compute_columns(cfg: RunConfig, ndhi_c: jax.Array,
 
 
 def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
-               nflux, sc: SweepScalars, lls_c, max_shell: int) -> SweepResult:
+               nflux, sc: SweepScalars, lls_c, max_shell: int,
+               row_ci=None) -> SweepResult:
     """Vectorized rate deposition from the completed column-density field.
 
     Reconstructs coldensh_in = coldensh_out - cell column (exactly the
@@ -505,6 +522,11 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     evolve0D (evolve_point.F90:151-295): shell-volume dilution, the
     max_coldensh / R_max cutoffs, photon-conserving rates, per-atom rate
     division, boundary photon-loss and LLS-loss tallies.
+
+    row_ci: optional (m,) int32 *centered* row indices for axis 0 - the
+    domain-decomposed path (parallel/domain.py) evaluates the rate physics
+    only on its grid slab; cdo/ndhi_c/lls_c then carry m rows whose
+    centered-frame identity is row_ci.  None = full grid (rows 0..n-1).
     """
     n = cfg.mesh[0]
     c = n // 2
@@ -514,7 +536,10 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     eps = cfg.epsilon
 
     o = np.arange(n) - c
-    oi = jnp.asarray(o[:, None, None], jnp.int32)
+    if row_ci is None:
+        oi = jnp.asarray(o[:, None, None], jnp.int32)
+    else:
+        oi = (row_ci.astype(jnp.int32) - c)[:, None, None]
     oj = jnp.asarray(o[None, :, None], jnp.int32)
     ok = jnp.asarray(o[None, None, :], jnp.int32)
     aoi, aoj, aok = jnp.abs(oi), jnp.abs(oj), jnp.abs(ok)
@@ -583,10 +608,27 @@ def neutral_density(cfg: RunConfig, ndens: jax.Array,
     return jnp.maximum(1.0 - jnp.maximum(xh_av1, eps), eps) * ndens
 
 
+def slab_rows(n: int, m: int, x0, src_x):
+    """Centered-frame row indices of grid slab [x0, x0+m) for a source at
+    grid row src_x (both may be traced)."""
+    return (x0 + (n // 2) - src_x + jnp.arange(m, dtype=jnp.int32)) % n
+
+
+def _slab_rows_take(a: Optional[jax.Array], m: int, x0, src_x):
+    """Slice the centered field `a` down to the rows of grid slab
+    [x0, x0+m): a circular interval in the centered frame, realized as a
+    traced roll + static slice."""
+    if a is None:
+        return None
+    n = a.shape[0]
+    return jnp.roll(a, src_x - (n // 2) - x0, axis=0)[:m]
+
+
 def sweep_single_source(cfg: RunConfig, tables: RadTables,
                         ndhi_c: jax.Array, nflux, sc: SweepScalars,
                         lls_c: Optional[jax.Array] = None,
-                        max_shell: Optional[int] = None) -> SweepResult:
+                        max_shell: Optional[int] = None,
+                        slab=None, src_x=None) -> SweepResult:
     """Ray-trace one source over its (source-centered) grid.
 
     Equivalent of do_source (evolve_source.F90:58-221): resets the
@@ -596,6 +638,13 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
 
     ndhi_c: neutral density field from neutral_density(), recentered on
     the source.
+
+    slab: optional (x0, m) grid-axis-0 slab (x0 traced, m static) for the
+    domain-decomposed layout: the causal column march still covers the
+    full cube (it is op-latency-bound and cheap, O(N^2) per shell), but
+    the N^3-work rate physics runs only on the slab; the returned fields
+    have m rows, already in grid order along axis 0 (axes 1,2 centered).
+    src_x: the source's grid row (required with slab).
     """
     n = cfg.mesh[0]
     assert cfg.mesh[0] == cfg.mesh[1] == cfg.mesh[2], "sweep assumes cubic mesh"
@@ -609,8 +658,17 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
         cdo = compute_columns(cfg, ndhi_c, sc, lls_c, max_shell)
     else:
         cdo = compute_columns_facemajor(cfg, ndhi_c, sc, lls_c, max_shell)
-    return _rate_pass(cfg, tables, cdo, ndhi_c, nflux, sc, lls_c,
-                      max_shell)
+    if slab is None:
+        return _rate_pass(cfg, tables, cdo, ndhi_c, nflux, sc, lls_c,
+                          max_shell)
+    x0, m = slab
+    row_ci = slab_rows(n, m, x0, src_x)
+    return _rate_pass(cfg, tables,
+                      _slab_rows_take(cdo, m, x0, src_x),
+                      _slab_rows_take(ndhi_c, m, x0, src_x),
+                      nflux, sc,
+                      _slab_rows_take(lls_c, m, x0, src_x),
+                      max_shell, row_ci=row_ci)
 
 
 def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
@@ -618,7 +676,8 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
                          srcpos: jax.Array, nflux: jax.Array,
                          sc: SweepScalars,
                          lls_grid: Optional[jax.Array] = None,
-                         max_shell: Optional[int] = None):
+                         max_shell: Optional[int] = None,
+                         slab=None):
     """Sweep every source and accumulate the global rate grids.
 
     Equivalent of pass_all_sources/do_grid (evolve.F90:444-495,
@@ -636,12 +695,16 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     Args:
       srcpos: (S, 3) int32 0-based source cell positions.
       nflux:  (S,) source luminosities in S_star units.
+      slab:   optional (x0, m) grid slab for the domain-decomposed layout
+              (parallel/domain.py): rate grids come back with m rows
+              (grid rows x0..x0+m-1); the column march stays full-cube.
     Returns:
       (phih_grid, phiheat_grid, photon_loss, lls_loss, per_source_loss)
     """
     n = cfg.mesh[0]
     c = n // 2
     dtype = ndens.dtype
+    m_rows = n if slab is None else slab[1]
     s = srcpos.shape[0]
     b = max(1, min(cfg.source_batch, s))
     nbatch = -(-s // b)
@@ -666,16 +729,30 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
             pallas_sweep_available
         use_pallas = pallas_sweep_available(cfg, lls_grid)
 
+    def _to_grid(field, pos):
+        """Return the rate field in grid layout: full roll when the field
+        covers the cube, axes-1/2 roll when axis 0 is already a grid slab."""
+        if slab is None:
+            return roll3(field, pos - c)
+        return jnp.roll(field, (pos[1] - c, pos[2] - c), axis=(1, 2))
+
     if use_pallas:
+        def _slab_rate(cdo, x, f, pos):
+            if slab is None:
+                return _rate_pass(cfg, tables, cdo, x, f, sc, None, d_sweep)
+            x0, m = slab
+            return _rate_pass(cfg, tables,
+                              _slab_rows_take(cdo, m, x0, pos[0]),
+                              _slab_rows_take(x, m, x0, pos[0]),
+                              f, sc, None, d_sweep,
+                              row_ci=slab_rows(n, m, x0, pos[0]))
+
         def vsweep(pos_b, nf_b):
             ndhi_cb = jax.vmap(lambda p: roll3(ndhi, c - p))(pos_b)
             cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep)
-            res_b = jax.vmap(
-                lambda cdo, x, f: _rate_pass(cfg, tables, cdo, x, f, sc,
-                                             None, d_sweep))(
-                cdo_b, ndhi_cb, nf_b)
-            ph = jax.vmap(lambda p, q: roll3(p, q - c))(res_b.phih, pos_b)
-            he = (jax.vmap(lambda p, q: roll3(p, q - c))(res_b.phiheat, pos_b)
+            res_b = jax.vmap(_slab_rate)(cdo_b, ndhi_cb, nf_b, pos_b)
+            ph = jax.vmap(_to_grid)(res_b.phih, pos_b)
+            he = (jax.vmap(_to_grid)(res_b.phiheat, pos_b)
                   if not cfg.isothermal else res_b.phiheat)
             return ph, he, res_b.photon_loss, res_b.lls_loss
     else:
@@ -684,9 +761,10 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
             ndhi_c = roll3(ndhi, shifts)
             lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
             res = sweep_single_source(cfg, tables, ndhi_c, nf, sc,
-                                      lls_c=lls_c, max_shell=max_shell)
-            phih_g = roll3(res.phih, pos - c)
-            heat_g = (roll3(res.phiheat, pos - c) if not cfg.isothermal
+                                      lls_c=lls_c, max_shell=max_shell,
+                                      slab=slab, src_x=pos[0])
+            phih_g = _to_grid(res.phih, pos)
+            heat_g = (_to_grid(res.phiheat, pos) if not cfg.isothermal
                       else res.phiheat)
             return phih_g, heat_g, res.photon_loss, res.lls_loss
 
@@ -702,7 +780,7 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
         return (phih_g, heat_g, loss_t + jnp.sum(lo),
                 lls_t + jnp.sum(ll)), lo
 
-    zero3 = jnp.zeros((n, n, n), dtype)
+    zero3 = jnp.zeros((m_rows, n, n), dtype)
     heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
     carry0 = (zero3, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
     (phih, heat, loss, lls_loss), per_src_loss = lax.scan(

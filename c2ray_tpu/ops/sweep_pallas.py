@@ -98,7 +98,11 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, max_shell, 6, n, n), dtype),
         scratch_shapes=[pltpu.VMEM((6, n, n), dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the exact (precision=HIGHEST) one-hot mirror contractions in
+            # the wedge fixups need more kernel stack than the default
+            # 16 MiB scoped-vmem budget at N=256 (measured 19.8 MiB)
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(params, ndhi_faces)
 
     zeros0 = jnp.zeros((b, 1, 6, n, n), dtype)

@@ -34,12 +34,105 @@ from typing import Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RunConfig
 from ..ops.chemistry import global_chemistry
+from ..ops.sweep import SweepScalars, raytrace_all_sources
+from ..ops.tables import RadTables
 from ..ops.thermal import CoolingTable
+
+
+def make_domain_mesh(n_src: int, n_dom: int,
+                     axis_names=("src", "dom")) -> Mesh:
+    """2D device mesh: source data-parallelism x grid-slab domain
+    decomposition.  The TPU analogue of an MPI rank grid the reference
+    builds but never enables (mpi.F90:183-227, reorder=.false. :69)."""
+    devs = jax.devices()
+    need = n_src * n_dom
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_src, n_dom), axis_names)
+
+
+def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
+                             src_axis: Optional[str] = None):
+    """Grid-slab domain decomposition of the ray sweep (parallel phase 2).
+
+    Design (the TPU inversion of the halo-exchange plan the reference's
+    Cartesian topology hints at, mpi.F90:183-275): the causal column
+    march is op-latency-bound - each shell step is O(N^2) work dominated
+    by fixed per-op cost (BENCH_HISTORY.md), so *sharding it would add a
+    collective per shell and make it slower*.  Instead the march runs
+    REPLICATED on every device of the `dom` axis, and everything that is
+    O(N^3) FLOP/bandwidth work - coldensh_in reconstruction, the
+    photon-conserving rate evaluation (the exponential-mixture math),
+    rate deposition, loss reductions, and downstream chemistry - runs on
+    a 1/ndom grid slab per device.  The rate grids stay slab-sharded
+    across the convergence iteration (chemistry is elementwise), so the
+    only replicated O(N^3) state is the march itself.
+
+    Composes with phase-1 source sharding on a 2D (src, dom) mesh: pass
+    src_axis="src"; each device then sweeps S/n_src sources over its
+    slab, rate grids are psum'd over src and stay sharded over dom.
+
+    Returns a raytracer with the raytrace_all_sources signature (inject
+    into Evolve3D); phih comes back as a global jax.Array sharded
+    P(dom) on grid axis 0.
+    """
+
+    def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
+                  srcpos, nflux, sc: SweepScalars, lls_grid=None,
+                  max_shell=None):
+        ndom = mesh.shape[dom_axis]
+        n = cfg.mesh[0]
+        if n % ndom != 0:
+            raise ValueError(f"mesh {n} not divisible by dom axis {ndom}")
+        m = n // ndom
+
+        s = int(srcpos.shape[0])
+        if src_axis is not None:
+            nsrc_dev = mesh.shape[src_axis]
+            pad = (-s) % nsrc_dev
+            if pad:
+                srcpos = jnp.concatenate(
+                    [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+                nflux = jnp.concatenate(
+                    [nflux, jnp.zeros((pad,), nflux.dtype)])
+
+        def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
+            x0 = lax.axis_index(dom_axis) * m
+            phih, heat, loss, lls_loss, per_src = raytrace_all_sources(
+                cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
+                lls_grid=lls_grid, max_shell=max_shell, slab=(x0, m))
+            # scalar losses: full reductions (ALLREDUCE analogue,
+            # evolve.F90:585-614) over both mesh axes
+            axes = (dom_axis,) if src_axis is None else (dom_axis, src_axis)
+            loss = lax.psum(loss, axes)
+            lls_loss = lax.psum(lls_loss, axes)
+            per_src = lax.psum(per_src, dom_axis)
+            if src_axis is not None:
+                # rate slabs: sum over the source shards, stay dom-sharded
+                phih = lax.psum(phih, src_axis)
+                heat = lax.psum(heat, src_axis)
+            return phih, heat, loss, lls_loss, per_src
+
+        rep = P()
+        src_spec = P(src_axis) if src_axis is not None else rep
+        dom_spec = P(dom_axis)   # slab along grid axis 0
+        heat_spec = dom_spec if not cfg.isothermal else rep
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep, rep, src_spec, src_spec, rep, rep),
+            out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
+            check_vma=False)
+        phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
+                                                 nflux, sc, lls_grid)
+        return phih, heat, loss, lls_loss, per_src[:s]
+
+    return raytracer
 
 
 def sharded_chemistry(mesh: Mesh, axis_name: str = "src",

@@ -118,3 +118,112 @@ def test_sharded_chemistry_in_solver():
         results[key] = np.asarray(state.xh1)
     np.testing.assert_allclose(results["domain"], results["serial"],
                                rtol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Domain decomposition (parallel phase 2): grid-slab-sharded rate physics
+# --------------------------------------------------------------------------
+
+def test_domain_sharded_matches_serial():
+    """Slab-decomposed sweep (replicated march + sharded rate pass)
+    reproduces the serial result."""
+    from c2ray_tpu.parallel.domain import domain_sharded_raytracer
+    cfg, tabs, sc, nd, xa, dr = setup()
+    rng = np.random.default_rng(3)
+    srcpos = rng.integers(0, 16, size=(5, 3)).astype(np.int32)
+    nflux = 10.0 ** rng.uniform(6, 9, size=5)
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc)
+
+    mesh = make_device_mesh(8, axis_name="dom")
+    rt = domain_sharded_raytracer(mesh)
+    dom = rt(cfg, tabs, nd, xa, jnp.asarray(srcpos), jnp.asarray(nflux), sc)
+
+    np.testing.assert_allclose(np.asarray(dom[0]), np.asarray(serial[0]),
+                               rtol=1e-12)
+    assert float(dom[2]) == pytest.approx(float(serial[2]), rel=1e-12,
+                                          abs=1e-300)
+    np.testing.assert_allclose(np.asarray(dom[4]), np.asarray(serial[4]),
+                               rtol=1e-12)
+
+
+def test_domain_sharded_with_lls():
+    """Slab decomposition with scalar and grid LLS opacity."""
+    from c2ray_tpu.parallel.domain import domain_sharded_raytracer
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=True, type_of_lls=2,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    dr = 2.9e24
+    rng = np.random.default_rng(4)
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    nd = jnp.full((n, n, n), 1.98e-4)
+    xa = jnp.asarray(rng.uniform(0.0, 0.5, (n, n, n)))
+    lls_grid = jnp.asarray(10.0 ** rng.uniform(15, 17, (n, n, n)))
+    srcpos = jnp.asarray(rng.integers(0, n, (3, 3)), jnp.int32)
+    nflux = jnp.asarray(10.0 ** rng.uniform(7, 9, 3))
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, srcpos, nflux, sc,
+                                  lls_grid=lls_grid)
+    mesh = make_device_mesh(8, axis_name="dom")
+    rt = domain_sharded_raytracer(mesh)
+    dom = rt(cfg, tabs, nd, xa, srcpos, nflux, sc, lls_grid=lls_grid)
+    np.testing.assert_allclose(np.asarray(dom[0]), np.asarray(serial[0]),
+                               rtol=1e-12)
+    assert float(dom[3]) == pytest.approx(float(serial[3]), rel=1e-12)
+
+
+def test_src_x_dom_2d_mesh():
+    """Composed parallelism: sources sharded x grid slabs on a 2D mesh."""
+    from c2ray_tpu.parallel.domain import (domain_sharded_raytracer,
+                                           make_domain_mesh)
+    cfg, tabs, sc, nd, xa, dr = setup()
+    rng = np.random.default_rng(5)
+    srcpos = rng.integers(0, 16, size=(6, 3)).astype(np.int32)
+    nflux = 10.0 ** rng.uniform(6, 9, size=6)
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc)
+    mesh = make_domain_mesh(2, 4)
+    rt = domain_sharded_raytracer(mesh, src_axis="src")
+    dom = rt(cfg, tabs, nd, xa, jnp.asarray(srcpos), jnp.asarray(nflux), sc)
+    np.testing.assert_allclose(np.asarray(dom[0]), np.asarray(serial[0]),
+                               rtol=1e-12)
+    assert float(dom[2]) == pytest.approx(float(serial[2]), rel=1e-12,
+                                          abs=1e-300)
+    np.testing.assert_allclose(np.asarray(dom[4]), np.asarray(serial[4]),
+                               rtol=1e-12)
+
+
+def test_solver_with_domain_raytracer():
+    """Full evolve3D on the 2D (src, dom) mesh with slab-sharded chemistry
+    matches the serial solver."""
+    from c2ray_tpu.parallel.domain import (domain_sharded_raytracer,
+                                           make_domain_mesh,
+                                           sharded_chemistry)
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    srcpos = np.array([[8, 8, 8], [3, 12, 5]], np.int32)
+    nflux = np.array([1e9, 1e8])
+    ndens = jnp.full((n, n, n), 1.98e-4)
+    mesh = make_domain_mesh(2, 4)
+    results = {}
+    for key, kw in [("serial", {}),
+                    ("domain", dict(
+                        raytracer=domain_sharded_raytracer(mesh,
+                                                           src_axis="src"),
+                        chemistry=sharded_chemistry(mesh, "dom")))]:
+        solver = Evolve3D(cfg, tabs, **kw)
+        state = initial_state(cfg)
+        for _ in range(2):
+            state, info = solver.evolve3d(state, ndens, 2.9e24, srcpos,
+                                          nflux, 3.1e14)
+        results[key] = np.asarray(state.xh1)
+    np.testing.assert_allclose(results["domain"], results["serial"],
+                               rtol=1e-10)
