@@ -45,6 +45,14 @@ def main():
                     help="shell bucket width (0 = single full-plane loop)")
     ap.add_argument("--batch", type=int, default=0,
                     help="source batch size (0 = all sources in one vmap batch)")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "facemajor", "grid", "pallas"),
+                    help="sweep backend; auto = pallas on TPU (whole-sweep "
+                         "kernel, validated vs the XLA backends on "
+                         "hardware), facemajor elsewhere")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed "
+                         "iterations to DIR")
     args = ap.parse_args()
     if args.quick:
         args.mesh, args.sources, args.iters = 64, 4, 2
@@ -63,9 +71,14 @@ def main():
     from c2ray_tpu.ops.tables import build_rad_tables
 
     n = args.mesh
+    backend = args.backend
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                   else "facemajor")
     cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
                               type_of_lls=1, cosmological=False,
                               shell_bucket_size=args.bucket,
+                              sweep_backend=backend,
                               source_batch=args.batch or args.sources)
     tables = build_rad_tables(cfg)
 
@@ -93,11 +106,16 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
+    if args.profile:
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
     t0 = time.time()
     for _ in range(args.iters):
         out = sweep(ndens, xh_av, srcpos, nflux, sc)
     jax.block_until_ready(out)
     elapsed = (time.time() - t0) / args.iters
+    if args.profile:
+        prof.__exit__(None, None, None)
 
     shells = args.max_shell if args.max_shell else n // 2
     if shells >= n // 2:
@@ -114,7 +132,8 @@ def main():
         "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
     }))
     print(f"# mesh={n}^3 sources={args.sources} sweep={elapsed*1e3:.1f} ms "
-          f"compile={compile_s:.1f}s backend={jax.devices()[0].platform}",
+          f"compile={compile_s:.1f}s platform={jax.devices()[0].platform} "
+          f"backend={backend}",
           file=sys.stderr)
 
 

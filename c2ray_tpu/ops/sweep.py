@@ -124,12 +124,17 @@ def _stage_faces(x: jax.Array, d_max: int) -> jax.Array:
     c = n // 2
     slabs = []
     for (ax, s, _, _) in _FACES:
+        # Forward-stride slices only: slice(c, None, -1) is miscompiled by
+        # XLA:TPU under vmap with batch >= 4 when the staged array is
+        # materialized (see the matching note in _unstage_faces); the
+        # equivalent forward slice + standalone flip compiles correctly.
         idx: List = [slice(None)] * 3
         if s > 0:
             idx[ax] = slice(c, None)          # planes d = 0 .. n-1-c
+            slab = jnp.moveaxis(x[tuple(idx)], ax, 0)
         else:
-            idx[ax] = slice(c, None, -1)      # planes d = 0 .. c
-        slab = jnp.moveaxis(x[tuple(idx)], ax, 0)
+            idx[ax] = slice(0, c + 1)         # planes d = c .. 0
+            slab = jnp.flip(jnp.moveaxis(x[tuple(idx)], ax, 0), 0)
         pad = d_max + 1 - slab.shape[0]
         if pad > 0:
             slab = jnp.pad(slab, ((0, pad), (0, 0), (0, 0)), mode="edge")
@@ -401,8 +406,15 @@ def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
     return jnp.stack([pz, mz, py, my, px, mx])
 
 
-def _unstage_faces(stacks: jax.Array, n: int, cdo0) -> jax.Array:
+def _unstage_faces(planes: jax.Array, n: int, cdo0) -> jax.Array:
     """Merge face-major planes back to grid layout by cell ownership.
+
+    planes: (D, 6, N, N) face planes for shells d = 1..D (the shell-0
+    plane is never consulted: every face-ownership mask requires strict
+    positivity along the dominant axis, so shell 0 contributes only the
+    source cell, set from cdo0 directly - and padding a zero plane in
+    front triggers an XLA:TPU concat+DUS fusion miscompile when the
+    planes come from the Pallas kernel's custom call at batch >= 4).
 
     Inverse of _stage_faces restricted to each face's owned cells (the
     z>=y>=x tie-breaking partition); the source cell gets cdo0.  Cells
@@ -410,7 +422,7 @@ def _unstage_faces(stacks: jax.Array, n: int, cdo0) -> jax.Array:
     """
     c = n // 2
     pos_max = n - 1 - c
-    d_max = stacks.shape[0] - 1
+    d_max = planes.shape[0]
     o = np.arange(n) - c
     oi = o[:, None, None]
     oj = o[None, :, None]
@@ -431,15 +443,15 @@ def _unstage_faces(stacks: jax.Array, n: int, cdo0) -> jax.Array:
     # bitwise-correct at batch <= 2/3 and on CPU).  Keeping the reversal as
     # a standalone jnp.flip on the slab and writing forward-stride regions
     # compiles correctly (validated bitwise vs single-source at batch 16).
-    out = jnp.zeros((n, n, n), stacks.dtype)
+    out = jnp.zeros((n, n, n), planes.dtype)
     for f, (ax, s, _, _) in enumerate(_FACES):
-        navail = min((pos_max if s > 0 else c) + 1, d_max + 1)
-        slab = stacks[:navail, f]                       # planes d=0..navail-1
+        navail = min(pos_max if s > 0 else c, d_max)    # planes d=1..navail
+        slab = planes[:navail, f]
         region: List = [slice(None)] * 3
         if s > 0:
-            region[ax] = slice(c, c + navail)
+            region[ax] = slice(c + 1, c + 1 + navail)
         else:
-            region[ax] = slice(c - navail + 1, c + 1)
+            region[ax] = slice(c - navail, c)
             slab = jnp.flip(slab, 0)
         slab = jnp.moveaxis(slab, 0, ax)
         m = jnp.asarray(own[f][tuple(region)])
@@ -466,7 +478,6 @@ def compute_columns_facemajor(cfg: RunConfig, ndhi_c: jax.Array,
 
     cdo0 = ndhi_c[c, c, c] * (0.5 * sc.dr)
     prev0 = jnp.zeros((6, n, n), dtype).at[:, c, c].set(cdo0)
-    stacks0 = jnp.zeros((max_shell + 1, 6, n, n), dtype)
 
     ds = jnp.arange(1, max_shell + 1)
     lls_xs = lls_faces[1:] if lls_faces is not None else None
@@ -481,8 +492,7 @@ def compute_columns_facemajor(cfg: RunConfig, ndhi_c: jax.Array,
     # lax.scan slices the staged inputs and stacks the outputs natively
     # (no explicit dynamic_slice/update ops in the loop body)
     _, planes = lax.scan(body, prev0, (ds, ndhi_faces[1:], lls_xs))
-    stacks = jnp.concatenate([stacks0[:1], planes])
-    return _unstage_faces(stacks, n, cdo0)
+    return _unstage_faces(planes, n, cdo0)
 
 
 def compute_columns(cfg: RunConfig, ndhi_c: jax.Array,

@@ -15,13 +15,16 @@ Restrictions of this first kernel: scalar LLS models only (the grid LLS
 variant falls back to the XLA backend), N*N*6*4B blocks must fit VMEM
 (N <= ~320 for float32).
 
-STATUS: experimental (sweep_backend="pallas", off by default).  Validated
-bitwise against the XLA backend on real TPU at N in {64,128,192} and at
-N=256 with small batches; one N=256/batch=16/LLS configuration showed a
-miscompare under investigation (platform iteration too slow this round to
-bisect further - the XLA face-major backend is the supported default).
-Measured columns-march speed at 256^3: 1.9x the XLA backend with ~10x
-faster compiles.
+STATUS: production on TPU (bench.py --backend auto selects it).  The
+round-1 miscompare was root-caused to XLA:TPU host-side bugs, not the
+kernel: (a) reversed-stride slice updates under vmap with batch >= 4
+corrupt _unstage_faces/_stage_faces outputs (fixed: standalone flips +
+forward-stride regions), and (b) concatenating a zero shell-0 plane onto
+the kernel's custom-call output triggers a concat+DUS fusion miscompile
+at batch >= 4 (fixed: _unstage_faces consumes d>=1 planes directly).
+Validated bitwise against single-source sweeps at the full bench
+configuration (N=256, batch 16, scalar LLS) on hardware
+(scripts/validate_tpu.py); 1.08e9 cell-source updates/s per v5e chip.
 """
 
 from __future__ import annotations
@@ -105,9 +108,11 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(params, ndhi_faces)
 
-    zeros0 = jnp.zeros((b, 1, 6, n, n), dtype)
-    stacks = jnp.concatenate([zeros0, out], axis=1)
-    return jax.vmap(_unstage_faces, in_axes=(0, None, 0))(stacks, n, cdo0)
+    # out holds planes for shells d = 1..max_shell; _unstage_faces consumes
+    # them directly (concatenating a zero shell-0 plane in front triggers
+    # an XLA:TPU concat+DUS fusion miscompile on custom-call outputs at
+    # batch >= 4 - the shell-0 plane is pure padding anyway)
+    return jax.vmap(_unstage_faces, in_axes=(0, None, 0))(out, n, cdo0)
 
 
 def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:
