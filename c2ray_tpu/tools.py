@@ -144,3 +144,93 @@ def ksz_map(xh1: np.ndarray, ndens_proper: np.ndarray, vel_z: np.ndarray,
     ne = np.asarray(ndens_proper, np.float64) * np.asarray(xh1, np.float64)
     return (SIGMA_T * ne * np.asarray(vel_z, np.float64) / const.C_LIGHT
             ).sum(axis=2) * dr_proper
+
+
+def ksz_map_interpolated(maps_a: Sequence[np.ndarray],
+                         maps_b: Sequence[np.ndarray],
+                         weights: Sequence[float],
+                         shifts: Optional[Sequence[Tuple[int, int]]] = None,
+                         random_vel_sigma: Optional[Sequence[float]] = None,
+                         tau_maps: Optional[Sequence[np.ndarray]] = None,
+                         seed: int = 0) -> np.ndarray:
+    """Light-cone kSZ accumulation with per-slice interpolation
+    (make_interp_maps_kSZ_w_random_vel2.f90).
+
+    For each light-cone step i, the contribution is
+    ``weight*map_a + (1-weight)*map_b`` (interpolation between bracketing
+    output slices, reference :79), optionally translated periodically by
+    ``shifts[i]`` (cshift decorrelation, :116-117) and augmented by a
+    large-scale random bulk velocity drawn as a zero-mean Gaussian with
+    sigma ``random_vel_sigma[i]`` applied to the slice's tau map
+    (``tauadd*vrandom/c``, :110-122).
+    """
+    rng = np.random.default_rng(seed)
+    total = np.zeros_like(np.asarray(maps_a[0], np.float64))
+    for i, (ma, mb, w) in enumerate(zip(maps_a, maps_b, weights)):
+        add = w * np.asarray(ma, np.float64) + (1.0 - w) * np.asarray(
+            mb, np.float64)
+        if shifts is not None:
+            sx, sy = shifts[i]
+            add = np.roll(np.roll(add, sx, axis=0), sy, axis=1)
+        if random_vel_sigma is not None and tau_maps is not None:
+            vrand = rng.normal(0.0, random_vel_sigma[i]) * 1e5  # km/s -> cm/s
+            taua = np.asarray(tau_maps[i], np.float64)
+            if shifts is not None:
+                sx, sy = shifts[i]
+                taua = np.roll(np.roll(taua, sx, axis=0), sy, axis=1)
+            add = add + taua * vrand / const.C_LIGHT
+        total += add
+    return total
+
+
+def cube_pdf(cube: np.ndarray, nbins: int = 100,
+             value_range: Optional[Tuple[float, float]] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Linear-range PDF of a cube's values (make_PDF_21cm.f90), e.g. the
+    21-cm dTb cube from brightness_temperature_21cm."""
+    c = np.asarray(cube, np.float64).ravel()
+    hist, edges = np.histogram(c, bins=nbins, range=value_range, density=True)
+    return 0.5 * (edges[1:] + edges[:-1]), hist
+
+
+def write_ifrit_cube(map2d: np.ndarray, path: str,
+                     scale: float = 1e6) -> None:
+    """Replicate a 2D map along the third axis and write it in IFRIT's
+    unformatted format: one (m,m,m) header record + one f32 data record
+    (ifrit_format.f90; the reference scales dT maps by 1e6 to muK)."""
+    from .utils.io_fortran import write_unformatted_records
+
+    m2 = np.asarray(map2d, np.float32) * np.float32(scale)
+    n = m2.shape[0]
+    header = np.asarray([n, n, n], np.int32).tobytes()
+    # reference writes (((a(i,j),i),j),k): the 2D map repeated n times
+    data = np.tile(m2.T.ravel(), n).tobytes()  # Fortran order per plane
+    write_unformatted_records(path, [header, data])
+
+
+def source_luminosity_history(zreds: Sequence[float],
+                              flux_total: Sequence[np.ndarray],
+                              flux_active: Sequence[np.ndarray],
+                              results_file: Optional[str] = None
+                              ) -> np.ndarray:
+    """Active vs total source counts and luminosities per redshift
+    (sources_total_lum.f90:83-85).
+
+    flux_total[i]/flux_active[i] are the per-source photon rates of slice
+    i before/after suppression (e.g. SourceModel.load with xh1=0 vs the
+    evolving grid).  Returns rows (z, N_total, N_active, S_total,
+    S_active) and optionally writes them in the reference's column
+    layout."""
+    rows = []
+    for z, ft, fa in zip(zreds, flux_total, flux_active):
+        ft = np.asarray(ft, np.float64)
+        fa = np.asarray(fa, np.float64)
+        rows.append((float(z), ft.size, fa.size,
+                     float(ft.sum()), float(fa.sum())))
+    out = np.asarray(rows)
+    if results_file:
+        with open(results_file, "w") as f:
+            for z, nt, na, st, sa in rows:
+                f.write(f"{z:10.3f}  {int(nt):8d}{int(na):8d}  "
+                        f"{st:12.3e}{sa:12.3e}\n")
+    return out

@@ -66,3 +66,45 @@ def test_tau_and_ksz():
     m = ksz_map(x, nd, vel, 3e24)
     assert m.shape == (n, n)
     assert np.all(m > 0)
+
+
+def test_cube_pdf_and_ifrit(tmp_path):
+    from c2ray_tpu.tools import cube_pdf, write_ifrit_cube
+    from c2ray_tpu.utils.io_fortran import read_unformatted_records
+
+    cube = np.random.default_rng(2).normal(5.0, 1.0, (16, 16, 16))
+    centers, pdf = cube_pdf(cube, nbins=50)
+    # density integrates to 1
+    assert np.trapezoid(pdf, centers) == pytest.approx(1.0, rel=0.05)
+
+    m = np.arange(16.0).reshape(4, 4) / 16.0
+    path = str(tmp_path / "ifrit.bin")
+    write_ifrit_cube(m, path, scale=1e6)
+    recs = read_unformatted_records(path)
+    assert np.frombuffer(recs[0], np.int32).tolist() == [4, 4, 4]
+    data = np.frombuffer(recs[1], np.float32).reshape(4, 4, 4, order="F")
+    # every z-plane equals the scaled input map (Fortran (i,j) layout)
+    for k in range(4):
+        np.testing.assert_allclose(data[:, :, k], m.astype(np.float32) * 1e6,
+                                   rtol=1e-6)
+
+
+def test_ksz_interp_and_source_history(tmp_path):
+    from c2ray_tpu.tools import ksz_map_interpolated, source_luminosity_history
+
+    a = np.ones((8, 8)); b = np.zeros((8, 8))
+    tot = ksz_map_interpolated([a, a], [b, b], [0.25, 0.75])
+    np.testing.assert_allclose(tot, np.full((8, 8), 1.0))
+    # with a pure random-velocity term on a unit tau map
+    tot2 = ksz_map_interpolated([b], [b], [1.0], tau_maps=[a],
+                                random_vel_sigma=[100.0], seed=3)
+    assert np.all(tot2 == tot2[0, 0]) and tot2[0, 0] != 0.0
+
+    rows = source_luminosity_history(
+        [9.0, 8.5], [np.ones(10), np.ones(12)],
+        [np.ones(4) * 2, np.ones(5) * 2],
+        results_file=str(tmp_path / "srcs.dat"))
+    assert rows.shape == (2, 5)
+    assert rows[0].tolist() == [9.0, 10, 4, 10.0, 8.0]
+    text = (tmp_path / "srcs.dat").read_text().splitlines()
+    assert text[0].split()[0] == "9.000"
