@@ -135,6 +135,115 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
     return raytracer
 
 
+def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
+                           src_axis: Optional[str] = None):
+    """Fully domain-decomposed ray sweep: the causal march itself runs
+    sharded over grid x-slabs with per-shell halo exchange (parallel
+    phase 2b, ops/sweep_sharded.py).
+
+    Unlike domain_sharded_raytracer (replicated march, sharded rate
+    physics), every O(N^3) array here — density, ionization, the march
+    state, the column field, the rate grids — is a 1/ndom slab, so the
+    memory footprint scales down with the mesh axis and grids larger
+    than one chip's HBM become feasible.  The price is two ring
+    ppermutes per wavefront shell (boundary halo rows + the x-face
+    plane ownership handoff); on ICI these are tiny (O(N) and O(N^2)
+    payloads) and overlap with the strip compute.
+
+    Input ndens/xh_av1/lls_grid may be host arrays or jax.Arrays; they
+    are consumed with P(dom) sharding on grid axis 0 (pass arrays
+    already device_put with that sharding to avoid any replicated
+    materialization).  Outputs match domain_sharded_raytracer: phih
+    (and phiheat) sharded P(dom) on axis 0, scalar losses replicated.
+    """
+    from ..ops.sweep import (SweepScalars, _rate_pass, neutral_density,
+                             slab_rows)
+    from ..ops.sweep_sharded import compute_columns_slab
+
+    ndom = mesh.shape[dom_axis]
+
+    def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
+                  srcpos, nflux, sc: SweepScalars, lls_grid=None,
+                  max_shell=None):
+        n = cfg.mesh[0]
+        if n % ndom != 0:
+            raise ValueError(f"mesh {n} not divisible by dom axis {ndom}")
+        m = n // ndom
+        c = n // 2
+        d_sweep = max_shell
+        if d_sweep is None:
+            d_sweep = cfg.max_shell if cfg.max_shell is not None else c
+        d_sweep = min(d_sweep, min(c, cfg.max_subbox))
+
+        s = int(srcpos.shape[0])
+        if src_axis is not None:
+            nsrc_dev = mesh.shape[src_axis]
+            pad = (-s) % nsrc_dev
+            if pad:
+                srcpos = jnp.concatenate(
+                    [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+                nflux = jnp.concatenate(
+                    [nflux, jnp.zeros((pad,), nflux.dtype)])
+
+        def local(ndens_s, xh_s, srcpos, nflux, sc, lls_s):
+            r0 = lax.axis_index(dom_axis) * m
+            ndhi_s = neutral_density(cfg, ndens_s, xh_s)
+            dtype = ndens_s.dtype
+
+            def sweep_one(carry, inp):
+                phih, heat, loss_t, lls_t = carry
+                pos, nf = inp
+                sh = (c - pos[1], c - pos[2])
+                ndhi_c = jnp.roll(ndhi_s, sh, axis=(1, 2))
+                lls_c = (jnp.roll(lls_s, sh, axis=(1, 2))
+                         if lls_s is not None else None)
+                cdo = compute_columns_slab(cfg, ndhi_c, sc, lls_c,
+                                           d_sweep, pos[0], r0, ndom,
+                                           dom_axis)
+                res = _rate_pass(cfg, tables, cdo, ndhi_c, nf, sc, lls_c,
+                                 d_sweep,
+                                 row_ci=slab_rows(n, m, r0, pos[0]))
+                back = (pos[1] - c, pos[2] - c)
+                phih = phih + jnp.roll(res.phih, back, axis=(1, 2))
+                if not cfg.isothermal:
+                    heat = heat + jnp.roll(res.phiheat, back, axis=(1, 2))
+                return (phih, heat, loss_t + res.photon_loss,
+                        lls_t + res.lls_loss), res.photon_loss
+
+            zero3 = jnp.zeros((m, n, n), dtype)
+            heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
+            carry0 = (zero3, heat0, jnp.zeros((), dtype),
+                      jnp.zeros((), dtype))
+            (phih, heat, loss, lls_loss), per_src = lax.scan(
+                sweep_one, carry0, (srcpos, nflux))
+
+            axes = (dom_axis,) if src_axis is None else (dom_axis, src_axis)
+            loss = lax.psum(loss, axes)
+            lls_loss = lax.psum(lls_loss, axes)
+            per_src = lax.psum(per_src, dom_axis)
+            if src_axis is not None:
+                phih = lax.psum(phih, src_axis)
+                if not cfg.isothermal:
+                    heat = lax.psum(heat, src_axis)
+            return phih, heat, loss, lls_loss, per_src
+
+        rep = P()
+        dom_spec = P(dom_axis)
+        src_spec = P(src_axis) if src_axis is not None else rep
+        heat_spec = dom_spec if not cfg.isothermal else rep
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(dom_spec, dom_spec, src_spec, src_spec, rep,
+                      dom_spec if lls_grid is not None else rep),
+            out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
+            check_vma=False)
+        phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
+                                                 nflux, sc, lls_grid)
+        return phih, heat, loss, lls_loss, per_src.reshape(-1)[:s]
+
+    return raytracer
+
+
 def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
                       cool: Optional[CoolingTable] = None):
     """Build a global_chemistry drop-in that shards the mesh's first grid

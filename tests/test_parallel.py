@@ -227,3 +227,146 @@ def test_solver_with_domain_raytracer():
         results[key] = np.asarray(state.xh1)
     np.testing.assert_allclose(results["domain"], results["serial"],
                                rtol=1e-10)
+
+
+# ---------- halo-exchange sharded march (parallel phase 2b) ----------
+
+
+def test_halo_sharded_columns_bitwise():
+    """The slab-sharded causal march (per-shell halo exchange) reproduces
+    the replicated face-major column field to a few ulps, including
+    sources at wrap rows and slab boundaries."""
+    from jax.sharding import PartitionSpec as P
+    from c2ray_tpu.ops.sweep import compute_columns_facemajor, roll3
+    from c2ray_tpu.ops.sweep_sharded import compute_columns_slab
+    from c2ray_tpu.parallel.source_shard import make_device_mesh
+
+    n = 16
+    c = n // 2
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    dr = 2.9e23
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    rng = np.random.default_rng(11)
+    ndhi = jnp.asarray(rng.uniform(1e-4, 3e-4, (n, n, n)))
+    mesh = make_device_mesh(8, axis_name="dom")
+    m = n // 8
+
+    for pos in ([8, 8, 8], [0, 3, 15], [15, 0, 0], [1, 9, 2]):
+        for max_shell in (c, 4):
+            px, py, pz = pos
+            ndhi_c = roll3(ndhi, (c - px, c - py, c - pz))
+            ref = compute_columns_facemajor(cfg, ndhi_c, sc, None, max_shell)
+            # reference cdo is fully centered; the slab march returns
+            # grid-ordered rows with centered axes 1/2
+            ref_grid_rows = jnp.roll(ref, px - c, axis=0)
+
+            def local(nd_slab):
+                r0 = jax.lax.axis_index("dom") * m
+                return compute_columns_slab(
+                    cfg, nd_slab, sc, None, max_shell,
+                    jnp.int32(px), r0, 8, "dom")
+
+            nd_rows = jnp.roll(ndhi_c, px - c, axis=0)
+            got = jax.shard_map(local, mesh=mesh, in_specs=P("dom"),
+                                out_specs=P("dom"), check_vma=False)(nd_rows)
+            # identical math; XLA fuses the strip and full-plane programs
+            # differently (FMA contraction), so allow a few ulps
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref_grid_rows), rtol=1e-13,
+                err_msg=f"pos={pos} max_shell={max_shell}")
+
+
+def test_halo_sharded_matches_serial():
+    """Fully domain-decomposed sweep (sharded density, march, rates)
+    reproduces the serial result on random fields."""
+    from c2ray_tpu.parallel.domain import halo_sharded_raytracer
+    cfg, tabs, sc, _, _, dr = setup()
+    n = 16
+    rng = np.random.default_rng(12)
+    nd = jnp.asarray(rng.uniform(1e-4, 3e-4, (n, n, n)))
+    xa = jnp.asarray(rng.uniform(0.0, 0.5, (n, n, n)))
+    srcpos = rng.integers(0, n, size=(5, 3)).astype(np.int32)
+    nflux = 10.0 ** rng.uniform(6, 9, size=5)
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc)
+    mesh = make_device_mesh(8, axis_name="dom")
+    rt = halo_sharded_raytracer(mesh)
+    got = rt(cfg, tabs, nd, xa, jnp.asarray(srcpos), jnp.asarray(nflux), sc)
+
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(serial[0]),
+                               rtol=1e-12)
+    assert float(got[2]) == pytest.approx(float(serial[2]), rel=1e-12,
+                                          abs=1e-300)
+    np.testing.assert_allclose(np.asarray(got[4]), np.asarray(serial[4]),
+                               rtol=1e-12)
+
+
+def test_halo_sharded_2d_mesh_lls_heat():
+    """Halo-sharded march on a 2D (src x dom) mesh with grid LLS opacity
+    and photo-heating."""
+    from c2ray_tpu.parallel.domain import (halo_sharded_raytracer,
+                                           make_domain_mesh)
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=True, type_of_lls=2,
+                      isothermal=False, cosmological=False)
+    tabs = build_rad_tables(cfg)
+    dr = 2.9e22
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    rng = np.random.default_rng(13)
+    nd = jnp.asarray(rng.uniform(1e-4, 3e-4, (n, n, n)))
+    xa = jnp.asarray(rng.uniform(0.0, 0.5, (n, n, n)))
+    lls = jnp.asarray(rng.uniform(1e15, 1e17, (n, n, n)))
+    srcpos = rng.integers(0, n, size=(3, 3)).astype(np.int32)
+    nflux = 10.0 ** rng.uniform(7, 9, size=3)
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc, lls_grid=lls)
+    mesh = make_domain_mesh(2, 4)
+    rt = halo_sharded_raytracer(mesh, src_axis="src")
+    got = rt(cfg, tabs, nd, xa, jnp.asarray(srcpos), jnp.asarray(nflux), sc,
+             lls_grid=lls)
+
+    for i in (0, 1):   # phih, phiheat
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(serial[i]),
+                                   rtol=1e-12)
+    for i in (2, 3):   # photon loss, LLS loss
+        assert float(got[i]) == pytest.approx(float(serial[i]), rel=1e-12,
+                                              abs=1e-300)
+
+
+def test_solver_with_halo_raytracer():
+    """Full evolve3D with the halo-sharded march + slab chemistry matches
+    the serial solver."""
+    from c2ray_tpu.parallel.domain import (halo_sharded_raytracer,
+                                           make_domain_mesh,
+                                           sharded_chemistry)
+    n = 16
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    srcpos = np.array([[8, 8, 8], [3, 12, 5]], np.int32)
+    nflux = np.array([1e9, 1e8])
+    ndens = jnp.full((n, n, n), 1.98e-4)
+    mesh = make_domain_mesh(2, 4)
+    results = {}
+    for key, kw in [("serial", {}),
+                    ("halo", dict(
+                        raytracer=halo_sharded_raytracer(mesh,
+                                                         src_axis="src"),
+                        chemistry=sharded_chemistry(mesh, "dom")))]:
+        solver = Evolve3D(cfg, tabs, **kw)
+        state = initial_state(cfg)
+        for _ in range(2):
+            state, info = solver.evolve3d(state, ndens, 2.9e24, srcpos,
+                                          nflux, 3.1e14)
+        results[key] = np.asarray(state.xh1)
+    np.testing.assert_allclose(results["halo"], results["serial"],
+                               rtol=1e-10)
