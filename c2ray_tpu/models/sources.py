@@ -63,13 +63,28 @@ class SourceCatalog:
 def read_source_file(path: str, ncolumns: int = 5) -> np.ndarray:
     """Read a source list: first line = count, then `ncolumns` floats/line.
 
-    Reference: count_or_read_in_sources, sourceprops.F90:292-325.
+    Reference: count_or_read_in_sources, sourceprops.F90:292-325 (which
+    reads the file twice — count pass + read pass; here one pass).
+    Production catalogs are millions of halo lines, so the threaded
+    native parser (native/io_native.cpp) is used when available, with a
+    transparent python fallback.
     """
+    from .. import native
+
+    rows = native.read_source_catalog(path, ncolumns)
+    if rows is not None:
+        return rows
+    def _f(v: str) -> float:
+        try:
+            return float(v)
+        except ValueError:   # Fortran D exponents (1.0D+05)
+            return float(v.replace("D", "e").replace("d", "e"))
+
     with open(path) as f:
         n = int(f.readline().split()[0])
         rows = np.zeros((n, ncolumns))
         for i in range(n):
-            vals = [float(v) for v in f.readline().split()]
+            vals = [_f(v) for v in f.readline().split()]
             rows[i, :len(vals)] = vals[:ncolumns]
     return rows
 

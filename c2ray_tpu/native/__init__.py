@@ -24,12 +24,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_HERE, "io_native.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-s", "-C", _HERE], check=True,
+            subprocess.run(["make", "-s", "-B", "-C", _HERE], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.read_cube_f32.argtypes = [
@@ -41,6 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         lib.write_cube_f32.restype = ctypes.c_int
+        lib.read_source_catalog.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.read_source_catalog.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -74,6 +83,27 @@ def read_cube_f32(path: str, mesh, header: bool = True, conv: float = 1.0,
     raw = read_stream_cube(path, (n1, n2, n3), np.float32, header=header)
     out = raw.astype(np.float32) * np.float32(conv)
     out[raw <= 0.0] = floor_val
+    return out
+
+
+def read_source_catalog(path: str, ncols: int = 5) -> Optional[np.ndarray]:
+    """Parse an ASCII source catalog (count line + one source per line)
+    with the threaded native parser.  Returns None when the native
+    library is unavailable (caller falls back to the python reader)."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        with open(path) as f:
+            n = int(f.readline().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+    out = np.zeros((n, ncols), np.float64)
+    got = lib.read_source_catalog(
+        path.encode(), ncols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n)
+    if got != n:
+        return None
     return out
 
 

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -105,6 +106,107 @@ int read_cube_f32(const char* path, int64_t n1, int64_t n2, int64_t n3,
   for (auto& t : ts) t.join();
   munmap(map, size_t(need));
   return 0;
+}
+
+// Parse an ASCII source catalog (sourceprops.F90:292-325 format: first
+// line = row count, then one source per line, whitespace-separated
+// numbers; short rows are zero-padded, extra columns ignored).  The
+// reference reads these files TWICE per redshift slice (count pass +
+// read pass, count_or_read_in_sources); production catalogs run to
+// 1e6-1e8 halo lines, so this is a single mmap pass with threaded
+// row parsing.  `out` must hold max_rows*ncols doubles.  Returns the
+// number of rows parsed, or a negative error code.
+int64_t read_source_catalog(const char* path, int64_t ncols, double* out,
+                            int64_t max_rows) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return -2;
+  }
+  if (st.st_size == 0) {
+    close(fd);
+    return -3;
+  }
+  void* map = mmap(nullptr, size_t(st.st_size), PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (map == MAP_FAILED) return -4;
+  const char* base = static_cast<const char*>(map);
+  const char* end = base + st.st_size;
+
+  // header: row count (first token of the first line)
+  const char* p = base;
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  int64_t nrows = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    nrows = nrows * 10 + (*p - '0');
+    ++p;
+    any = true;
+  }
+  if (!any) {
+    munmap(map, size_t(st.st_size));
+    return -5;
+  }
+  const char* nl = static_cast<const char*>(
+      memchr(p, '\n', size_t(end - p)));
+  p = nl ? nl + 1 : end;
+  if (nrows > max_rows) nrows = max_rows;
+
+  // index the next nrows line starts (blank lines are rows of zeros,
+  // matching the python reader)
+  std::vector<const char*> starts(size_t(nrows) + 1);
+  for (int64_t i = 0; i < nrows; ++i) {
+    starts[size_t(i)] = p;
+    if (p < end) {
+      nl = static_cast<const char*>(memchr(p, '\n', size_t(end - p)));
+      p = nl ? nl + 1 : end;
+    }
+  }
+  starts[size_t(nrows)] = p;
+
+  auto parse_rows = [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const char* q = starts[size_t(r)];
+      const char* qe = starts[size_t(r + 1)];
+      double* row = out + r * ncols;
+      for (int64_t cidx = 0; cidx < ncols; ++cidx) row[cidx] = 0.0;
+      for (int64_t cidx = 0; cidx < ncols; ++cidx) {
+        while (q < qe && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+        if (q >= qe || *q == '\n') break;
+        const char* tok = q;
+        while (q < qe && !(*q == ' ' || *q == '\t' || *q == '\r' ||
+                           *q == '\n'))
+          ++q;
+        // bounded copy + strtod: correctly-rounded, bitwise-identical to
+        // the python fallback reader (mmap is not NUL-terminated, so a
+        // direct strtod on it could run past the mapping)
+        char buf[64];
+        size_t len = size_t(q - tok);
+        if (len >= sizeof(buf)) len = sizeof(buf) - 1;
+        memcpy(buf, tok, len);
+        // Fortran D exponents (1.0D+05) -> E for strtod
+        for (size_t ci = 0; ci < len; ++ci)
+          if (buf[ci] == 'd' || buf[ci] == 'D') buf[ci] = 'e';
+        buf[len] = '\0';
+        row[cidx] = strtod(buf, nullptr);
+      }
+    }
+  };
+
+  int nt = n_threads();
+  std::vector<std::thread> ts;
+  int64_t chunk = (nrows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(lo + chunk, nrows);
+    if (lo >= hi) break;
+    ts.emplace_back(parse_rows, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+  munmap(map, size_t(st.st_size));
+  return nrows;
 }
 
 // Write a C-ordered float32 cube to disk in Fortran order (+optional header).

