@@ -309,7 +309,7 @@ def _mirror_a(x: jax.Array) -> jax.Array:
 
 
 def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
-                            dr, n: int):
+                            dr, n: int, rowfix: bool = False):
     """Face-major wavefront step: from the 6 previous dominant planes
     (6,N,N) compute the 6 new planes of shell d, wedge-fixed so that each
     face's plane is valid on its full |t| <= d read extent.
@@ -319,6 +319,16 @@ def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
     planes; by the coordinate coincidence at the 45-degree wedges the
     transfers reduce to elementwise selects of (optionally mirrored /
     transposed) sibling planes - no gathers, no dynamic indexing.
+
+    rowfix=False (XLA path): the mirrored/transposed variants are built
+    once for the whole (6,N,N) stack - 5 layout/matmul HLOs, minimal op
+    count for the op-latency-bound XLA loop.
+    rowfix=True (Pallas kernel): only the |t| = d rows/columns of the
+    mirrored planes are ever consumed, so the fixups extract exactly
+    those 10 vectors with one-hot matvecs (~10 N^2 MACs) instead of
+    full-plane mirror contractions (~9 N^3 MACs) - inside a fused kernel
+    op count is free and the MXU work drops ~400x.  Both produce
+    bitwise-identical planes (the one-hot contractions are exact copies).
 
     Pure function of (6,N,N) arrays: shared by the XLA fori_loop path and
     the Pallas whole-sweep kernel.
@@ -377,19 +387,66 @@ def _wavefront_plane_update(prev, ndhi_p, lcol, d, cfg: RunConfig,
     newp = coldensh_in + ndhi_p * (path * dr)
 
     # ---- wedge fixups (edge cells owned by the higher-priority face) ----
-    # Layout ops are expensive relative to fused elementwise work on TPU,
-    # so the mirrored/transposed variants are built once for the whole
-    # (6,N,N) stack and the per-face transfers become pure selects.
     on_pa = (ita == d)[None]           # row a = c+d
     on_ma = (ita == -d)[None]
     on_pb = (itb == d)[None]           # col b = c+d
     on_mb = (itb == -d)[None]
+    pz, mz = newp[0], newp[1]
+
+    if rowfix:
+        # extract exactly the consumed |t| = d vectors via exact one-hot
+        # matvecs (precision=HIGHEST one-nonzero contraction = a copy):
+        #   py[:,c-d] = mirror_b(mz)[:,c-d] = mz[:,c+d]      (column copy)
+        #   my[:,c+d] = mirror_b(pz)[:,c+d] = pz[:,c-d]
+        #   px[c+d,:] = py_f[c+d,:] ; px[c-d,:] = my_f[c+d,:]  (row copies,
+        #   mx[c+d,:] = py_f[c-d,:] ; mx[c-d,:] = my_f[c-d,:]   via mirror_a)
+        #   px[:,c+d] = pz[c+d,:] ; px[:,c-d] = mz[c+d,:]    (transposed z
+        #   mx[:,c+d] = pz[c-d,:] ; mx[:,c-d] = mz[c-d,:]     rows)
+        hi = lax.Precision.HIGHEST
+        # the mirror permutation wraps mod n (_mirror_perm), so the +d
+        # source index is (c+d) mod n - visible at d = c where it aliases
+        # the -d row
+        dp_wrap = (d + c) % n - c
+        oh_a_p = (ita == dp_wrap).astype(dtype)        # (N,1) one-hots
+        oh_a_m = (ita == -d).astype(dtype)
+        oh_b_p = (itb == dp_wrap).astype(dtype)        # (1,N)
+        oh_b_m = (itb == -d).astype(dtype)
+
+        def col_of(p, oh_a):      # p[:, r] as (N,1), broadcasts along b
+            # (the transposed b one-hot IS the a one-hot of the same index)
+            return lax.dot_general(p, oh_a, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=dtype, precision=hi)
+
+        def row_of(p, oh_b):      # p[r, :] as (1,N), broadcasts along a
+            return lax.dot_general(oh_b, p, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=dtype, precision=hi)
+
+        def row_as_col(p, oh_a):  # p[r, :] as (N,1), for column writes
+            return lax.dot_general(p, oh_a, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=dtype, precision=hi)
+
+        py = jnp.where(on_pb[0], pz,
+                       jnp.where(on_mb[0], col_of(mz, oh_a_p), newp[2]))
+        my = jnp.where(on_pb[0], col_of(pz, oh_a_m),
+                       jnp.where(on_mb[0], mz, newp[3]))
+        px = jnp.where(on_pa[0], row_of(py, oh_b_p),
+                       jnp.where(on_ma[0], row_of(my, oh_b_p), newp[4]))
+        mx = jnp.where(on_pa[0], row_of(py, oh_b_m),
+                       jnp.where(on_ma[0], row_of(my, oh_b_m), newp[5]))
+        px = jnp.where(on_pb[0], row_as_col(pz, oh_a_p),
+                       jnp.where(on_mb[0], row_as_col(mz, oh_a_p), px))
+        mx = jnp.where(on_pb[0], row_as_col(pz, oh_a_m),
+                       jnp.where(on_mb[0], row_as_col(mz, oh_a_m), mx))
+        return jnp.stack([pz, mz, py, my, px, mx])
+
+    # XLA path: layout ops are expensive relative to fused elementwise
+    # work, so the mirrored/transposed variants are built once for the
+    # whole (6,N,N) stack and the per-face transfers become pure selects.
     fb = _mirror_b(newp)               # b -> 2c-b for all faces at once
     fa = _mirror_a(newp)
     fab = _mirror_a(fb)
     tz = jnp.swapaxes(newp[0:2], -1, -2)
     tfb = _mirror_b(tz)
-    pz, mz = newp[0], newp[1]
     # y planes: |oz| = d columns come from the z planes (same a; b is oz in
     # the y plane and oy in the z plane, both = +-d -> same/mirrored slot)
     py = jnp.where(on_pb[0], pz, jnp.where(on_mb[0], fb[1], newp[2]))

@@ -61,8 +61,12 @@ def _kernel(params_ref, ndhi_ref, out_ref, prev_ref, *, cfg: RunConfig,
 
     dr = params_ref[bi, 0]
     lcol = params_ref[bi, 1]
+    # rowfix: inside the fused kernel the wedge fixups extract only the
+    # consumed |t|=d vectors (10 one-hot matvecs, ~10 N^2 MACs) instead
+    # of full-plane mirror contractions (~9 N^3 MACs at HIGHEST) -
+    # bitwise-identical planes, ~400x less MXU work per shell
     newp = _wavefront_plane_update(prev_ref[...], ndhi_ref[0, 0], lcol,
-                                   d, cfg, dr, n)
+                                   d, cfg, dr, n, rowfix=True)
     out_ref[0, 0] = newp
     prev_ref[...] = newp
 
