@@ -200,8 +200,16 @@ class RunConfig:
     # evolve_source.F90:128-136): sources start at a flux-estimated radius
     # from a power-of-two ladder and are promoted between convergence
     # iterations while their escaping-photon fraction exceeds loss_fraction.
-    adaptive_sweep: bool = False
+    # None = auto: on when a step has >= adaptive_auto_min_sources sources
+    # (the production many-source regime), off for few-source runs.
+    adaptive_sweep: Optional[bool] = None
     adaptive_min_shell: int = 8
+    adaptive_auto_min_sources: int = 32
+    # windowed sweeps: sources swept to radius r are staged, marched and
+    # rate-evaluated entirely inside their (2r+1)^3 window, making the
+    # per-source cost O(r^3) instead of O(N^3) (the TPU equivalent of the
+    # reference's subboxes being *work-limiting*, not just compute-limiting).
+    window_sweep: bool = True
     # number of sources swept per vmapped batch inside one scan step.
     source_batch: int = 1
 

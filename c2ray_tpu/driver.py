@@ -51,6 +51,11 @@ class DriverConfig:
     uv_file: str = ""           # fixed N_gamma models
     results_dir: str = "./results/"
     dump_dir: str = "./"
+    # restart-from-iteration-dump answer (C2Ray.F90:200-226):
+    # 0 = no, 1/2 = iterdump1/2, 3 = generic (newest)
+    iter_restart: int = 0
+    # mid-slice restart redshift (restart=2; C2Ray.F90:238-253)
+    zred_interm: float = -1.0
 
 
 def read_input_file(path: str, nbody_type: str = "test") -> DriverConfig:
@@ -80,6 +85,14 @@ def read_input_file(path: str, nbody_type: str = "test") -> DriverConfig:
         dc.uv_file = next(it)
     dc.number_timesteps = int(next(it))
     dc.number_outputs = int(next(it))
+    # trailing restart answers (C2Ray.F90:200-253): iteration-dump answer
+    # when restarting, then the intermediate redshift for restart=2
+    if dc.restart != 0:
+        ans = next(it, "n")
+        dc.iter_restart = (3 if ans.lower().startswith("y")
+                           else int(ans) if ans in ("0", "1", "2") else 0)
+    if dc.restart == 2:
+        dc.zred_interm = float(next(it))
     return dc
 
 
@@ -109,10 +122,19 @@ class C2RayDriver:
         self.source_model = SourceModel.from_recipe(
             cfg, self.dc.uv_recipe, m_grid=self.adapter.m_grid,
             n_box=self.adapter.n_box)
+        # fixed-budget UV models read their per-slice photon budgets at
+        # init (source_properties_ini, sourceprops.F90:727-753)
+        if self.dc.uv_recipe in (1, 2) and self.dc.uv_file:
+            from .models.sources import read_uv_file
+            self.source_model.uv_array = read_uv_file(self.dc.uv_file,
+                                                      self.dc.uv_recipe)
         self.clumping_model = ClumpingModel(cfg=cfg)
         self.material = material
         self.clock = CosmoClock.init(cfg.cosmo,
                                      float(self.adapter.zred_array[0]))
+        # 15-minute double-buffered iteration dumps (evolve.F90:253-266)
+        from .utils.checkpoint import IterDumper
+        self.dumper = IterDumper(dump_dir=self.dc.dump_dir)
         self.history = []
 
     def _log(self, *msg):
@@ -136,10 +158,36 @@ class C2RayDriver:
 
         # restart handling (C2Ray.F90:200-253)
         nz0 = dc.nz0
-        if dc.restart in (1, 2):
+        if dc.restart == 2:
+            # mid-slice restart: resume from an intermediate output
+            # redshift, with the reference's consistency check
+            # (C2Ray.F90:238-253)
+            if not (zreds[nz0 + 1] <= dc.zred_interm <= zreds[nz0]):
+                raise ValueError(
+                    f"restart=2: zred_interm {dc.zred_interm} outside slice "
+                    f"[{zreds[nz0 + 1]}, {zreds[nz0]}]")
+            state = load_slice_restart(cfg, dc.results_dir, dc.zred_interm)
+        elif dc.restart == 1:
             state = load_slice_restart(cfg, dc.results_dir, float(zreds[nz0]))
         else:
             state = initial_state(cfg)
+
+        # restart-from-iteration-dump (C2Ray.F90:200-226): consumed by the
+        # first evolve3d call only (evolve.F90:154-158)
+        iter_restart = None
+        if dc.restart != 0 and dc.iter_restart:
+            from .utils.checkpoint import IterDumper
+            which = dc.iter_restart
+            if which == 3:   # generic: newest valid dump
+                cands = [(i, os.path.join(dc.dump_dir, f"iterdump{i}.npz"))
+                         for i in (1, 2)]
+                cands = [(i, p) for i, p in cands if os.path.exists(p)]
+                which = max(cands, key=lambda t: os.path.getmtime(t[1]))[0] \
+                    if cands else 0
+            if which:
+                iter_restart = IterDumper.load(dc.dump_dir, which)
+                self._log(f"resuming from iterdump{which} "
+                          f"(niter={int(iter_restart['niter'])})")
 
         sim_time = self.clock.zred2time(float(zreds[nz0]))
         n_slices = len(zreds) - 1
@@ -157,10 +205,41 @@ class C2RayDriver:
             output_dt = (end_time - self.clock.zred2time(zred)) / dc.number_outputs
             next_output_time = sim_time + output_dt
 
+            # mid-slice restart: re-derive the simulation time from the
+            # intermediate redshift (C2Ray.F90:319-333; like the
+            # reference, exact one-dt alignment is snapped)
+            if dc.restart >= 2 and nz == nz0:
+                t_slice = self.clock.zred2time(zred)
+                interm_zred = self.clock.time2zred(t_slice + dt)
+                if abs(interm_zred - dc.zred_interm) < 0.001:
+                    sim_time = t_slice + dt
+                else:
+                    sim_time = self.clock.zred2time(dc.zred_interm)
+                next_output_time = end_time
+
             # per-slice sources (C2Ray.F90:303, sourceprops.F90:103-209)
-            rows = ad.read_sources(zred, nz)
-            cat = self.source_model.load(rows, np.asarray(state.xh1), nz,
-                                         end_time - sim_time, dt_slice=dt)
+            sup_file = ad.source_filename(zred, nz,
+                                          "_sources_used_wfgamma.dat")
+            if (dc.restart >= 2 and nz == nz0
+                    and self.source_model.uv_model != "Test"
+                    and os.path.exists(sup_file)):
+                # reproduce the restart's suppression state from the saved
+                # post-suppression list (sourceprops.F90:422-429,452-466)
+                from .models.sources import read_suppressed_source_list
+                cat = read_suppressed_source_list(sup_file)
+            else:
+                rows = ad.read_sources(zred, nz)
+                cat = self.source_model.load(rows, np.asarray(state.xh1), nz,
+                                             end_time - sim_time, dt_slice=dt)
+                if cat.num_src == 0:
+                    # bank the slice's photon budget (sourceprops.F90:199-207)
+                    self.source_model.bank_photons(nz)
+                elif (self.source_model.uv_model != "Test"
+                      and sup_file != ad.source_filename(zred, nz)):
+                    # record the post-suppression list for reproducible
+                    # restarts (sourceprops.F90:434-450)
+                    from .models.sources import write_suppressed_source_list
+                    write_suppressed_source_list(sup_file, cat)
             cat = sort_sources_by_flux(cat)
             self._log(f"slice z={zred:.3f}: {cat.num_src} sources, "
                       f"total flux {cat.total_flux * cfg.sed.s_star:.3e} /s")
@@ -175,6 +254,21 @@ class C2RayDriver:
                     clumping_grid=self.material.clumping_grid,
                     lls_grid=self.material.lls_grid)
 
+            # per-slice precomputed grids (C2Ray.F90:312-313): the grid
+            # clumping cube (type 5) and normalized LLS cross-section cube
+            # (type 2) are read from the adapter's files unless injected
+            # via MaterialState
+            clump_grid_slice = None
+            if cfg.type_of_clumping == 5:
+                if self.material.clumping_grid is not None:
+                    clump_grid_slice = np.asarray(self.material.clumping_grid)
+                else:
+                    clump_grid_slice = ad.read_clumping_grid(zred)
+            lls_grid_slice = self.material.lls_grid
+            if (cfg.use_lls and cfg.type_of_lls == 2
+                    and lls_grid_slice is None):
+                lls_grid_slice = ad.read_lls_grid(zred)
+
             # inner timestep loop (C2Ray.F90:352-407)
             while sim_time < end_time - 1e-6 * abs(dt):
                 actual_dt = min(next_output_time - sim_time, dt)
@@ -182,7 +276,10 @@ class C2RayDriver:
                     self.clock.redshift_evol(sim_time + 0.5 * actual_dt)
                     z_now = self.clock.zred
                 else:
-                    z_now = zred if cfg.cosmological else 0.0
+                    # non-cosmological runs keep the slice redshift: the
+                    # clumping C(z) and LLS mfp(z) models still see the
+                    # actual epoch (C2Ray.F90:375-376 passes zred always)
+                    z_now = zred
                 zp1 = (1.0 + z_now) if cfg.cosmological else 1.0
                 nd_proper = self.material.ndens_comoving * cfg.np_dtype(zp1**3)
                 dr_proper = cfg.dr_comoving / zp1
@@ -191,9 +288,11 @@ class C2RayDriver:
                 avg_dens = float(np.mean(np.asarray(
                     self.material.ndens_comoving))) * zp1**3
                 clump = self.clumping_model.evaluate(
-                    z_now, np.asarray(nd_proper), avg_dens)
-                lls = set_lls(cfg, z_now, dr_proper,
-                              self.material.lls_grid)
+                    z_now, np.asarray(nd_proper), avg_dens,
+                    grid_file_reader=((lambda _z: clump_grid_slice)
+                                      if clump_grid_slice is not None
+                                      else None))
+                lls = set_lls(cfg, z_now, dr_proper, lls_grid_slice)
                 cosmo_cool_coeff = 0.0
                 if cfg.cosmological and not cfg.isothermal:
                     p = cfg.cosmo
@@ -201,14 +300,28 @@ class C2RayDriver:
                         p.omega0 * (1 + z_now) ** 3 + 1 - p.omega0)
                     cosmo_cool_coeff = 2.0 / (1 + z_now) * dzdt
 
-                state, info = self.solver.evolve3d(
-                    state, nd_proper, dr_proper, cat.srcpos,
-                    cat.normflux_stellar, actual_dt,
-                    clumping=clump, lls_coldens=lls.coldensh_lls,
-                    rmax_cells=lls.r_max_cells,
-                    lls_grid=(jnp.asarray(lls.grid)
-                              if lls.grid is not None else None),
-                    cosmo_cool_coeff=cosmo_cool_coeff, stats=self.stats)
+                if cat.num_src > 0:
+                    state, info = self.solver.evolve3d(
+                        state, nd_proper, dr_proper, cat.srcpos,
+                        cat.normflux_stellar, actual_dt,
+                        clumping=clump, lls_coldens=lls.coldensh_lls,
+                        rmax_cells=lls.r_max_cells,
+                        lls_grid=(jnp.asarray(lls.grid)
+                                  if lls.grid is not None else None),
+                        cosmo_cool_coeff=cosmo_cool_coeff, stats=self.stats,
+                        dumper=self.dumper, iter_restart=iter_restart,
+                        nflux_xray=(cat.normflux_xray
+                                    if cfg.sed.use_xray_sed else None))
+                else:
+                    # no active sources: the reference skips evolve3D
+                    # entirely for this step (C2Ray.F90:379)
+                    from .solver import EvolveInfo
+                    info = EvolveInfo(
+                        niter=0, conv_flag=0, converged=True,
+                        mean_xh1=float(np.mean(np.asarray(state.xh1))),
+                        photon_loss=0.0, lls_loss=0.0,
+                        per_source_loss=np.zeros(0), photon_stats={})
+                iter_restart = None   # consumed by the first step only
                 sim_time += actual_dt
                 self.history.append(dict(z=z_now, t=sim_time, **info._asdict()))
                 self._log(f"  t={sim_time / (1e6 * const.YEAR):8.2f} Myr "

@@ -65,21 +65,30 @@ def set_lls(cfg: RunConfig, zred: float, dr_proper: float,
     """
     if not cfg.use_lls:
         return LLSState()
-    if cfg.type_of_lls in (1, 2):
+    if cfg.type_of_lls == 1:
         m = mfp_models(cfg.cosmo.h)[cfg.lls_model]
         mfp_pmpc = m.a_lls * ((1.0 + zred) / (1.0 + m.z_ref)) ** m.yz_lls
         mfp_pmpc = max(mfp_pmpc, LIMIT_MFP_CMPC / (1.0 + zred))
         n_lls = dr_proper / (mfp_pmpc * const.MPC)
         coldens = N_1 * n_lls
-        if cfg.type_of_lls == 2:
-            if lls_grid is None:
-                raise ValueError("type_of_lls=2 requires an LLS grid")
-            # scale the grid so its mean column matches the target mfp
-            # (LLS.F90:214-316 read_lls_grid)
-            scale = coldens / max(float(np.mean(lls_grid)), 1e-300)
-            return LLSState(coldensh_lls=coldens, mfp_pmpc=mfp_pmpc,
-                            grid=lls_grid * scale)
         return LLSState(coldensh_lls=coldens, mfp_pmpc=mfp_pmpc)
+    if cfg.type_of_lls == 2:
+        if lls_grid is None:
+            raise ValueError("type_of_lls=2 requires an LLS grid")
+        # read_LLS_grid conversion (LLS.F90:269-300): lls_grid holds
+        # normalized LLS cross sections (unit mean free path in pMpc);
+        # scale to the model mfp (no floor in this branch), zero the grid
+        # when the mfp falls below the comoving limit, else convert the
+        # per-cell covering fractions to column densities
+        m = mfp_models(cfg.cosmo.h)[cfg.lls_model]
+        mfp_pmpc = m.a_lls * ((1.0 + zred) / (1.0 + m.z_ref)) ** m.yz_lls
+        g = np.asarray(lls_grid, np.float64) / mfp_pmpc
+        if mfp_pmpc < LIMIT_MFP_CMPC / (1.0 + zred):
+            g = np.zeros_like(g)
+        else:
+            g = g * (const.MPC / dr_proper) ** 2 * N_1
+        return LLSState(coldensh_lls=float(np.mean(g)), mfp_pmpc=mfp_pmpc,
+                        grid=g)
     elif cfg.type_of_lls == 3:
         # hard barrier: R_max comoving Mpc -> proper, in cell units
         # (LLS.F90:151-158,186)

@@ -130,6 +130,36 @@ class NbodyAdapter:
     def read_sources(self, redshift: float, nz: int) -> np.ndarray:
         return read_source_file(self.source_filename(redshift, nz))
 
+    # ------------------------------------------------------------------
+    def clumping_filename(self, redshift: float) -> str:
+        """Bianco et al. 2020 sub-grid clumping cube name
+        (read_clumping_file, clumping_module.F90:455-458)."""
+        return os.path.join(self.dir_clump,
+                            f"{fortran_f6_3(redshift)}_scat.dat")
+
+    def read_clumping_grid(self, redshift: float) -> np.ndarray:
+        """Precomputed per-cell clumping grid (type_of_clumping=5;
+        clumping_module.F90:442-487: stream access, int32 mesh header,
+        f32 data)."""
+        return read_stream_cube(self.clumping_filename(redshift),
+                                self.cfg.mesh, np.float32,
+                                header=True).astype(self.cfg.np_dtype)
+
+    def lls_filename(self, redshift: float) -> str:
+        """LLS.F90:239-242."""
+        return os.path.join(
+            self.dir_lls,
+            f"{fortran_f6_3(redshift)}cross_section_normalized.bin")
+
+    def read_lls_grid(self, redshift: float) -> np.ndarray:
+        """Normalized LLS cross-section cube (type_of_lls=2;
+        read_LLS_grid, LLS.F90:214-316: stream access, int32 mesh
+        header, f32 data).  The conversion to per-cell column densities
+        happens in models.lls.set_lls."""
+        return read_stream_cube(self.lls_filename(redshift),
+                                self.cfg.mesh, np.float32,
+                                header=True).astype(np.float64)
+
 
 def test_adapter(cfg: RunConfig, num_zred: int = 15,
                  zred_start: float = 9.0,

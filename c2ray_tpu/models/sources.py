@@ -246,6 +246,48 @@ class SourceModel:
             self.cumulative_uv += float(self.uv_array[nz])
 
 
+def read_uv_file(path: str, recipe: int) -> np.ndarray:
+    """Per-slice UV photon budgets for the fixed-budget models.
+
+    Reference: source_properties_ini, sourceprops.F90:727-753.  First
+    line = slice count; model 1 ("Fixed N_gamma") lines are
+    (z, N_source_nosupp, N_source_supp, N_gamma_nosupp, uv); model 2
+    ("Fixed Ndot_gamma") lines are (z, uv).
+    """
+    col = 4 if recipe == 1 else 1
+    with open(path) as f:
+        n = int(f.readline().split()[0])
+        uv = np.zeros(n)
+        for i in range(n):
+            uv[i] = float(f.readline().split()[col])
+    return uv
+
+
+def write_suppressed_source_list(path: str, cat: SourceCatalog) -> None:
+    """Record the post-suppression source list so a restart reproduces
+    the same suppression (sourceprops.F90:434-450; format '3i4,f15.5',
+    positions 1-based)."""
+    with open(path, "w") as f:
+        f.write(f" {cat.num_src}\n")
+        for i in range(cat.num_src):
+            x, y, z = (int(v) + 1 for v in cat.srcpos[i])
+            f.write(f"{x:4d}{y:4d}{z:4d}{cat.normflux_stellar[i]:15.5f}\n")
+
+
+def read_suppressed_source_list(path: str) -> SourceCatalog:
+    """Read back a saved post-suppression list (sourceprops.F90:452-466)."""
+    with open(path) as f:
+        n = int(f.readline().split()[0])
+        pos = np.zeros((n, 3), np.int32)
+        flux = np.zeros(n)
+        for i in range(n):
+            vals = f.readline().split()
+            pos[i] = [int(float(v)) - 1 for v in vals[:3]]
+            flux[i] = float(vals[3])
+    return SourceCatalog(srcpos=pos, normflux_stellar=flux,
+                         normflux_xray=np.zeros(n))
+
+
 def sort_sources_by_flux(cat: SourceCatalog) -> SourceCatalog:
     """Deterministic load-balancing order: big sources first, dealt
     round-robin across shards.  Replaces the reference's dynamic

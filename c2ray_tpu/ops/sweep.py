@@ -581,7 +581,7 @@ def compute_columns(cfg: RunConfig, ndhi_c: jax.Array,
 
 def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
                nflux, sc: SweepScalars, lls_c, max_shell: int,
-               row_ci=None) -> SweepResult:
+               row_ci=None, nflux_xray=None) -> SweepResult:
     """Vectorized rate deposition from the completed column-density field.
 
     Reconstructs coldensh_in = coldensh_out - cell column (exactly the
@@ -633,7 +633,8 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     if cfg.use_lls and cfg.type_of_lls == 3:
         stop = stop | (dist2 > sc.rmax2_cells)     # evolve_point.F90:191
 
-    phi = photoion_rates(cfg, tables, coldensh_in, cdo, vol_ph, nflux)
+    phi = photoion_rates(cfg, tables, coldensh_in, cdo, vol_ph, nflux,
+                         nflux_xray=nflux_xray)
     live = active & ~stop
     gamma = jnp.where(live, phi.photo_cell * sc.rate_scale / ndhi_c, 0.0)
     heat = (jnp.where(live, phi.heat, 0.0) * sc.rate_scale
@@ -659,7 +660,7 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
         # photon budget with LLS absorption enabled.
         cold_pre = jnp.maximum(coldensh_in - lcol * path, 0.0)
         phi_lls = photoion_rates(cfg, tables, cold_pre, coldensh_in,
-                                 vol_ph, nflux)
+                                 vol_ph, nflux, nflux_xray=nflux_xray)
         # rate * vol/vol_ph with vol = 1 cell: photo_cell already carries
         # the /vol_ph factor
         lls_loss = jnp.sum(jnp.where(live, phi_lls.photo_cell, 0.0))
@@ -695,7 +696,8 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
                         ndhi_c: jax.Array, nflux, sc: SweepScalars,
                         lls_c: Optional[jax.Array] = None,
                         max_shell: Optional[int] = None,
-                        slab=None, src_x=None) -> SweepResult:
+                        slab=None, src_x=None,
+                        nflux_xray=None) -> SweepResult:
     """Ray-trace one source over its (source-centered) grid.
 
     Equivalent of do_source (evolve_source.F90:58-221): resets the
@@ -727,7 +729,7 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
         cdo = compute_columns_facemajor(cfg, ndhi_c, sc, lls_c, max_shell)
     if slab is None:
         return _rate_pass(cfg, tables, cdo, ndhi_c, nflux, sc, lls_c,
-                          max_shell)
+                          max_shell, nflux_xray=nflux_xray)
     x0, m = slab
     row_ci = slab_rows(n, m, x0, src_x)
     return _rate_pass(cfg, tables,
@@ -735,7 +737,127 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
                       _slab_rows_take(ndhi_c, m, x0, src_x),
                       nflux, sc,
                       _slab_rows_take(lls_c, m, x0, src_x),
-                      max_shell, row_ci=row_ci)
+                      max_shell, row_ci=row_ci, nflux_xray=nflux_xray)
+
+
+def _fold_axis(x: jax.Array, ax: int, n: int, r: int) -> jax.Array:
+    """Fold an r-cell periodic halo of axis `ax` back into the core."""
+    lo = lax.slice_in_dim(x, 0, r, axis=ax)
+    core = lax.slice_in_dim(x, r, r + n, axis=ax)
+    hi = lax.slice_in_dim(x, r + n, r + n + r, axis=ax)
+    head = lax.slice_in_dim(core, 0, r, axis=ax) + hi
+    mid = lax.slice_in_dim(core, r, n - r, axis=ax)
+    tail = lax.slice_in_dim(core, n - r, n, axis=ax) + lo
+    return lax.concatenate([head, mid, tail], ax)
+
+
+def fold_halo(x_pad: jax.Array, n: int, r: int) -> jax.Array:
+    """Collapse an (n+2r)^3 periodically-padded accumulator to n^3 by
+    wrapping the halo contributions back into the core (requires 2r <= n)."""
+    for ax in range(3):
+        x_pad = _fold_axis(x_pad, ax, n, r)
+    return x_pad
+
+
+def raytrace_windowed(cfg: RunConfig, tables: RadTables,
+                      ndens: jax.Array, xh_av1: jax.Array,
+                      srcpos: jax.Array, nflux: jax.Array,
+                      sc: SweepScalars,
+                      lls_grid: Optional[jax.Array] = None,
+                      radius: int = 8, nflux_xray=None):
+    """Windowed multi-source sweep: per-source cost O(radius^3), not O(N^3).
+
+    The production regime of the reference is 10^4-10^8 halo sources whose
+    subboxes (evolve_source.F90:128-212) stay far smaller than the grid.
+    Here each source is swept entirely inside its (2r+1)^3 window:
+
+      * the neutral-density field is periodically padded once per call
+        (O((N+2r)^3), amortized over all sources),
+      * a window is one dynamic_slice of the padded field - the source
+        lands exactly at the window center, so the whole single-source
+        wavefront machinery (facemajor march + vectorized rate pass) runs
+        unchanged on a virtual (2r+1)^3 mesh,
+      * rates scatter back through a padded accumulator grid
+        (read-add-write of the window, sequential within a vmapped batch),
+        whose halo is folded into the core once at the end.
+
+    The window boundary coincides with the max_shell boundary, so the
+    escaping-photon tally is exactly the reference's subbox-face loss
+    (evolve_point.F90:290-295) and drives the same growth criterion.
+
+    Requires 2*radius+1 <= N (otherwise use the full-cube sweep).
+    Returns (phih, phiheat, photon_loss, lls_loss, per_source_loss).
+    """
+    n = cfg.mesh[0]
+    r = int(radius)
+    p = 2 * r + 1
+    assert p <= n, "window must fit in the grid; use the full sweep"
+    cfgw = cfg.replace(mesh=(p, p, p))
+    dtype = ndens.dtype
+    npad = n + 2 * r
+
+    ndhi = neutral_density(cfg, ndens, xh_av1)
+    ndhi_pad = jnp.pad(ndhi, r, mode="wrap")
+    lls_pad = (jnp.pad(lls_grid, r, mode="wrap")
+               if lls_grid is not None else None)
+
+    s = int(srcpos.shape[0])
+    b = max(1, min(cfg.source_batch, s))
+    nbatch = -(-s // b)
+    pad = nbatch * b - s
+    have_x = nflux_xray is not None
+    if not have_x:
+        nflux_xray = jnp.zeros_like(nflux)
+    if pad:
+        srcpos = jnp.concatenate([srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+        nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
+        nflux_xray = jnp.concatenate(
+            [nflux_xray, jnp.zeros((pad,), nflux_xray.dtype)])
+    srcpos_b = srcpos.reshape(nbatch, b, 3)
+    nflux_b = nflux.reshape(nbatch, b)
+    nfx_b = nflux_xray.reshape(nbatch, b)
+
+    def sweep_one(pos, nf, nfx):
+        corner = (pos[0], pos[1], pos[2])   # padded coords of window corner
+        win = lax.dynamic_slice(ndhi_pad, corner, (p, p, p))
+        lwin = (lax.dynamic_slice(lls_pad, corner, (p, p, p))
+                if lls_pad is not None else None)
+        return sweep_single_source(cfgw, tables, win, nf, sc, lls_c=lwin,
+                                   max_shell=r,
+                                   nflux_xray=nfx if have_x else None)
+
+    vsweep = jax.vmap(sweep_one)
+
+    def one_batch(carry, inp):
+        acc, heat_acc, loss_t, lls_t = carry
+        pos, nf, nfx = inp
+        res = vsweep(pos, nf, nfx)
+
+        # sequential read-add-write scatter of the batch windows (windows
+        # may overlap, so this cannot vmap; each write is O(p^3))
+        def put(i, grids):
+            a, h = grids
+            corner = (pos[i, 0], pos[i, 1], pos[i, 2])
+            cur = lax.dynamic_slice(a, corner, (p, p, p))
+            a = lax.dynamic_update_slice(a, cur + res.phih[i], corner)
+            if not cfg.isothermal:
+                curh = lax.dynamic_slice(h, corner, (p, p, p))
+                h = lax.dynamic_update_slice(h, curh + res.phiheat[i], corner)
+            return a, h
+
+        acc, heat_acc = lax.fori_loop(0, b, put, (acc, heat_acc))
+        return (acc, heat_acc, loss_t + jnp.sum(res.photon_loss),
+                lls_t + jnp.sum(res.lls_loss)), res.photon_loss
+
+    zero_pad = jnp.zeros((npad, npad, npad), dtype)
+    heat0 = zero_pad if not cfg.isothermal else jnp.zeros((), dtype)
+    carry0 = (zero_pad, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
+    (acc, heat_acc, loss, lls_loss), per_src = lax.scan(
+        one_batch, carry0, (srcpos_b, nflux_b, nfx_b))
+    phih = fold_halo(acc, n, r)
+    heat = (fold_halo(heat_acc, n, r) if not cfg.isothermal
+            else jnp.zeros((), dtype))
+    return phih, heat, loss, lls_loss, per_src.reshape(-1)[:s]
 
 
 def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
@@ -744,7 +866,7 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
                          sc: SweepScalars,
                          lls_grid: Optional[jax.Array] = None,
                          max_shell: Optional[int] = None,
-                         slab=None):
+                         slab=None, nflux_xray=None):
     """Sweep every source and accumulate the global rate grids.
 
     Equivalent of pass_all_sources/do_grid (evolve.F90:444-495,
@@ -772,23 +894,39 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     c = n // 2
     dtype = ndens.dtype
     m_rows = n if slab is None else slab[1]
-    s = srcpos.shape[0]
-    b = max(1, min(cfg.source_batch, s))
-    nbatch = -(-s // b)
-    pad = nbatch * b - s
-    if pad:
-        # zero-flux padding sources contribute exactly zero everywhere
-        srcpos = jnp.concatenate([srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
-        nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
-    srcpos_b = srcpos.reshape(nbatch, b, 3)
-    nflux_b = nflux.reshape(nbatch, b)
-
-    ndhi = neutral_density(cfg, ndens, xh_av1)
 
     d_sweep = max_shell
     if d_sweep is None:
         d_sweep = cfg.max_shell if cfg.max_shell is not None else c
     d_sweep = min(d_sweep, min(c, cfg.max_subbox))
+
+    # windowed dispatch: when the sweep radius is small relative to the
+    # grid, per-source work must be O(r^3), not O(N^3) (the reference's
+    # entire subbox rationale, evolve_source.F90:128-212)
+    if (slab is None and cfg.window_sweep and max_shell is not None
+            and 2 * d_sweep + 1 <= n - 1):
+        return raytrace_windowed(cfg, tables, ndens, xh_av1, srcpos, nflux,
+                                 sc, lls_grid=lls_grid, radius=d_sweep,
+                                 nflux_xray=nflux_xray)
+
+    s = srcpos.shape[0]
+    b = max(1, min(cfg.source_batch, s))
+    nbatch = -(-s // b)
+    pad = nbatch * b - s
+    have_x = nflux_xray is not None
+    if not have_x:
+        nflux_xray = jnp.zeros_like(nflux)
+    if pad:
+        # zero-flux padding sources contribute exactly zero everywhere
+        srcpos = jnp.concatenate([srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
+        nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
+        nflux_xray = jnp.concatenate(
+            [nflux_xray, jnp.zeros((pad,), nflux_xray.dtype)])
+    srcpos_b = srcpos.reshape(nbatch, b, 3)
+    nflux_b = nflux.reshape(nbatch, b)
+    nfx_b = nflux_xray.reshape(nbatch, b)
+
+    ndhi = neutral_density(cfg, ndens, xh_av1)
 
     use_pallas = False
     if cfg.sweep_backend == "pallas" and lls_grid is None:
@@ -804,32 +942,36 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
         return jnp.roll(field, (pos[1] - c, pos[2] - c), axis=(1, 2))
 
     if use_pallas:
-        def _slab_rate(cdo, x, f, pos):
+        def _slab_rate(cdo, x, f, fx, pos):
+            fx = fx if have_x else None
             if slab is None:
-                return _rate_pass(cfg, tables, cdo, x, f, sc, None, d_sweep)
+                return _rate_pass(cfg, tables, cdo, x, f, sc, None, d_sweep,
+                                  nflux_xray=fx)
             x0, m = slab
             return _rate_pass(cfg, tables,
                               _slab_rows_take(cdo, m, x0, pos[0]),
                               _slab_rows_take(x, m, x0, pos[0]),
                               f, sc, None, d_sweep,
-                              row_ci=slab_rows(n, m, x0, pos[0]))
+                              row_ci=slab_rows(n, m, x0, pos[0]),
+                              nflux_xray=fx)
 
-        def vsweep(pos_b, nf_b):
+        def vsweep(pos_b, nf_b, nfx_b):
             ndhi_cb = jax.vmap(lambda p: roll3(ndhi, c - p))(pos_b)
             cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep)
-            res_b = jax.vmap(_slab_rate)(cdo_b, ndhi_cb, nf_b, pos_b)
+            res_b = jax.vmap(_slab_rate)(cdo_b, ndhi_cb, nf_b, nfx_b, pos_b)
             ph = jax.vmap(_to_grid)(res_b.phih, pos_b)
             he = (jax.vmap(_to_grid)(res_b.phiheat, pos_b)
                   if not cfg.isothermal else res_b.phiheat)
             return ph, he, res_b.photon_loss, res_b.lls_loss
     else:
-        def sweep_one(pos, nf):
+        def sweep_one(pos, nf, nfx):
             shifts = c - pos
             ndhi_c = roll3(ndhi, shifts)
             lls_c = roll3(lls_grid, shifts) if lls_grid is not None else None
             res = sweep_single_source(cfg, tables, ndhi_c, nf, sc,
                                       lls_c=lls_c, max_shell=max_shell,
-                                      slab=slab, src_x=pos[0])
+                                      slab=slab, src_x=pos[0],
+                                      nflux_xray=nfx if have_x else None)
             phih_g = _to_grid(res.phih, pos)
             heat_g = (_to_grid(res.phiheat, pos) if not cfg.isothermal
                       else res.phiheat)
@@ -839,8 +981,8 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
 
     def one_batch(carry, inp):
         phih_g, heat_g, loss_t, lls_t = carry
-        pos, nf = inp
-        ph, he, lo, ll = vsweep(pos, nf)
+        pos, nf, nfx = inp
+        ph, he, lo, ll = vsweep(pos, nf, nfx)
         phih_g = phih_g + jnp.sum(ph, axis=0)
         if not cfg.isothermal:
             heat_g = heat_g + jnp.sum(he, axis=0)
@@ -851,5 +993,5 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
     carry0 = (zero3, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
     (phih, heat, loss, lls_loss), per_src_loss = lax.scan(
-        one_batch, carry0, (srcpos_b, nflux_b))
+        one_batch, carry0, (srcpos_b, nflux_b, nfx_b))
     return phih, heat, loss, lls_loss, per_src_loss.reshape(-1)[:s]

@@ -85,7 +85,7 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
 
     def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
                   srcpos, nflux, sc: SweepScalars, lls_grid=None,
-                  max_shell=None):
+                  max_shell=None, nflux_xray=None):
         ndom = mesh.shape[dom_axis]
         n = cfg.mesh[0]
         if n % ndom != 0:
@@ -93,6 +93,9 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
         m = n // ndom
 
         s = int(srcpos.shape[0])
+        have_x = nflux_xray is not None
+        if not have_x:
+            nflux_xray = jnp.zeros_like(nflux)
         if src_axis is not None:
             nsrc_dev = mesh.shape[src_axis]
             pad = (-s) % nsrc_dev
@@ -101,12 +104,15 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
                     [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
                 nflux = jnp.concatenate(
                     [nflux, jnp.zeros((pad,), nflux.dtype)])
+                nflux_xray = jnp.concatenate(
+                    [nflux_xray, jnp.zeros((pad,), nflux_xray.dtype)])
 
-        def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
+        def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid, nfx):
             x0 = lax.axis_index(dom_axis) * m
             phih, heat, loss, lls_loss, per_src = raytrace_all_sources(
                 cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
-                lls_grid=lls_grid, max_shell=max_shell, slab=(x0, m))
+                lls_grid=lls_grid, max_shell=max_shell, slab=(x0, m),
+                nflux_xray=nfx if have_x else None)
             # scalar losses: full reductions (ALLREDUCE analogue,
             # evolve.F90:585-614) over both mesh axes
             axes = (dom_axis,) if src_axis is None else (dom_axis, src_axis)
@@ -125,11 +131,12 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
         heat_spec = dom_spec if not cfg.isothermal else rep
         fn = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(rep, rep, src_spec, src_spec, rep, rep),
+            in_specs=(rep, rep, src_spec, src_spec, rep, rep, src_spec),
             out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
-                                                 nflux, sc, lls_grid)
+                                                 nflux, sc, lls_grid,
+                                                 nflux_xray)
         return phih, heat, loss, lls_loss, per_src[:s]
 
     return raytracer
@@ -164,7 +171,7 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
 
     def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
                   srcpos, nflux, sc: SweepScalars, lls_grid=None,
-                  max_shell=None):
+                  max_shell=None, nflux_xray=None):
         n = cfg.mesh[0]
         if n % ndom != 0:
             raise ValueError(f"mesh {n} not divisible by dom axis {ndom}")
@@ -176,6 +183,9 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
         d_sweep = min(d_sweep, min(c, cfg.max_subbox))
 
         s = int(srcpos.shape[0])
+        have_x = nflux_xray is not None
+        if not have_x:
+            nflux_xray = jnp.zeros_like(nflux)
         if src_axis is not None:
             nsrc_dev = mesh.shape[src_axis]
             pad = (-s) % nsrc_dev
@@ -184,15 +194,17 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
                     [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
                 nflux = jnp.concatenate(
                     [nflux, jnp.zeros((pad,), nflux.dtype)])
+                nflux_xray = jnp.concatenate(
+                    [nflux_xray, jnp.zeros((pad,), nflux_xray.dtype)])
 
-        def local(ndens_s, xh_s, srcpos, nflux, sc, lls_s):
+        def local(ndens_s, xh_s, srcpos, nflux, sc, lls_s, nfx_all):
             r0 = lax.axis_index(dom_axis) * m
             ndhi_s = neutral_density(cfg, ndens_s, xh_s)
             dtype = ndens_s.dtype
 
             def sweep_one(carry, inp):
                 phih, heat, loss_t, lls_t = carry
-                pos, nf = inp
+                pos, nf, nfx = inp
                 sh = (c - pos[1], c - pos[2])
                 ndhi_c = jnp.roll(ndhi_s, sh, axis=(1, 2))
                 lls_c = (jnp.roll(lls_s, sh, axis=(1, 2))
@@ -202,7 +214,8 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
                                            dom_axis)
                 res = _rate_pass(cfg, tables, cdo, ndhi_c, nf, sc, lls_c,
                                  d_sweep,
-                                 row_ci=slab_rows(n, m, r0, pos[0]))
+                                 row_ci=slab_rows(n, m, r0, pos[0]),
+                                 nflux_xray=nfx if have_x else None)
                 back = (pos[1] - c, pos[2] - c)
                 phih = phih + jnp.roll(res.phih, back, axis=(1, 2))
                 if not cfg.isothermal:
@@ -215,7 +228,7 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
             carry0 = (zero3, heat0, jnp.zeros((), dtype),
                       jnp.zeros((), dtype))
             (phih, heat, loss, lls_loss), per_src = lax.scan(
-                sweep_one, carry0, (srcpos, nflux))
+                sweep_one, carry0, (srcpos, nflux, nfx_all))
 
             axes = (dom_axis,) if src_axis is None else (dom_axis, src_axis)
             loss = lax.psum(loss, axes)
@@ -234,11 +247,12 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
         fn = jax.shard_map(
             local, mesh=mesh,
             in_specs=(dom_spec, dom_spec, src_spec, src_spec, rep,
-                      dom_spec if lls_grid is not None else rep),
+                      dom_spec if lls_grid is not None else rep, src_spec),
             out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
-                                                 nflux, sc, lls_grid)
+                                                 nflux, sc, lls_grid,
+                                                 nflux_xray)
         return phih, heat, loss, lls_loss, per_src.reshape(-1)[:s]
 
     return raytracer
@@ -259,19 +273,22 @@ def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
 
     def chem(cfg: RunConfig, dt, ndens, xh1_old, xh1_intermed, xh1_av,
              phih, phiheat=None, temper_current=None, temper_av=None,
-             clumping=1.0, cool_table=None, cosmo_cool_coeff=0.0):
+             clumping=1.0, cool_table=None, cosmo_cool_coeff=0.0,
+             photon_loss_rate=0.0):
         n = ndens.shape[0]
         if n % ndev != 0:
             return global_chemistry(cfg, dt, ndens, xh1_old, xh1_intermed,
                                     xh1_av, phih, phiheat, temper_current,
                                     temper_av, clumping, cool_table or cool,
-                                    cosmo_cool_coeff)
+                                    cosmo_cool_coeff,
+                                    photon_loss_rate=photon_loss_rate)
 
         def local(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
-                  t_cur, t_av, clumping, ccc):
+                  t_cur, t_av, clumping, ccc, plr):
             res = global_chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
                                    phih, phiheat, t_cur, t_av, clumping,
-                                   cool_table or cool, ccc)
+                                   cool_table or cool, ccc,
+                                   photon_loss_rate=plr)
             conv = lax.psum(res.conv_flag, axis_name)
             nit = lax.pmax(res.n_iterations, axis_name)
             return res._replace(conv_flag=conv, n_iterations=nit)
@@ -288,11 +305,11 @@ def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
                       shard if phiheat is not None else rep,
                       shard if temper_current is not None else rep,
                       shard if temper_av is not None else rep,
-                      grid_or_scalar, rep),
+                      grid_or_scalar, rep, rep),
             out_specs=ChemistryResult(shard, shard, shard, shard, rep, rep),
             check_vma=False)
         return fn(dt, ndens, xh1_old, xh1_intermed, xh1_av, phih,
                   phiheat, temper_current, temper_av, clumping,
-                  cosmo_cool_coeff)
+                  cosmo_cool_coeff, photon_loss_rate)
 
     return chem

@@ -66,19 +66,25 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
 
     def raytracer(cfg: RunConfig, tables: RadTables, ndens, xh_av1,
                   srcpos, nflux, sc: SweepScalars, lls_grid=None,
-                  max_shell=None):
+                  max_shell=None, nflux_xray=None):
         ndev = mesh.devices.size
         s = int(srcpos.shape[0])
+        have_x = nflux_xray is not None
+        if not have_x:
+            nflux_xray = jnp.zeros_like(nflux)
         pad = (-s) % ndev
         if pad:
             srcpos = jnp.concatenate(
                 [srcpos, jnp.zeros((pad, 3), srcpos.dtype)])
             nflux = jnp.concatenate([nflux, jnp.zeros((pad,), nflux.dtype)])
+            nflux_xray = jnp.concatenate(
+                [nflux_xray, jnp.zeros((pad,), nflux_xray.dtype)])
 
-        def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
+        def local(ndens, xh_av1, srcpos, nflux, sc, lls_grid, nfx):
             phih, heat, loss, lls_loss, per_src = raytrace_all_sources(
                 cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
-                lls_grid=lls_grid, max_shell=max_shell)
+                lls_grid=lls_grid, max_shell=max_shell,
+                nflux_xray=nfx if have_x else None)
             # MPI_ALLREDUCE(SUM) equivalents (evolve.F90:585-614)
             phih = lax.psum(phih, axis_name)
             heat = lax.psum(heat, axis_name)
@@ -90,11 +96,12 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
         shard = P(axis_name)          # sharded over sources
         fn = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(rep, rep, shard, shard, rep, rep),
+            in_specs=(rep, rep, shard, shard, rep, rep, shard),
             out_specs=(rep, rep, rep, rep, shard),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
-                                                 nflux, sc, lls_grid)
+                                                 nflux, sc, lls_grid,
+                                                 nflux_xray)
         return phih, heat, loss, lls_loss, per_src[:s]
 
     return raytracer

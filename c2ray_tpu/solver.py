@@ -58,32 +58,52 @@ class Evolve3D:
         rt = raytracer if raytracer is not None else raytrace_all_sources
 
         @jax.jit
-        def _sweep(ndens, xh_av1, srcpos, nflux, sc, lls_grid):
+        def _sweep(ndens, xh_av1, srcpos, nflux, sc, lls_grid, nflux_xray):
             return rt(cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
-                      lls_grid=lls_grid)
+                      lls_grid=lls_grid, nflux_xray=nflux_xray)
 
         from functools import partial as _partial
 
         @_partial(jax.jit, static_argnames=("max_shell",))
-        def _sweep_r(ndens, xh_av1, srcpos, nflux, sc, lls_grid, max_shell):
+        def _sweep_r(ndens, xh_av1, srcpos, nflux, sc, lls_grid, nflux_xray,
+                     max_shell):
             return rt(cfg, tables, ndens, xh_av1, srcpos, nflux, sc,
-                      lls_grid=lls_grid, max_shell=max_shell)
+                      lls_grid=lls_grid, max_shell=max_shell,
+                      nflux_xray=nflux_xray)
 
         @jax.jit
         def _chem(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
-                  t_cur, t_av, clumping, cosmo_cool_coeff):
+                  t_cur, t_av, clumping, cosmo_cool_coeff, photon_loss_rate):
             if chemistry is not None:
                 # injected distributed variant (parallel/domain.py)
                 return chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
                                  phih, phiheat, t_cur, t_av, clumping,
-                                 cool, cosmo_cool_coeff)
+                                 cool, cosmo_cool_coeff,
+                                 photon_loss_rate=photon_loss_rate)
             return global_chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
                                     phih, phiheat, t_cur, t_av, clumping,
-                                    cool, cosmo_cool_coeff)
+                                    cool, cosmo_cool_coeff,
+                                    photon_loss_rate=photon_loss_rate)
 
         @jax.jit
         def _counts(ndens, xh1, t_av, clumping):
             return grid_counts(cfg, ndens, xh1, t_av, clumping)
+
+        @jax.jit
+        def _lossrate(ndens, xh_av1, sc, loss_per_cell):
+            # redistribute boundary losses as a per-cell per-atom rate:
+            # each cell absorbs its share through its own column (the
+            # reference's dormant add_photon_losses block,
+            # evolve_point.F90:497-506, with photon_loss =
+            # photon_loss_all/N^3 from evolve.F90:525)
+            from .ops.sweep import neutral_density
+            from .ops.tables import photoion_rates
+            ndhi = neutral_density(cfg, ndens, xh_av1)
+            coldens_cell = ndhi * sc.dr
+            phi = photoion_rates(cfg, tables,
+                                 jnp.zeros_like(coldens_cell), coldens_cell,
+                                 jnp.ones_like(coldens_cell), loss_per_cell)
+            return phi.photo_cell * sc.rate_scale / ndhi
 
         @jax.jit
         def _sum(x):
@@ -94,6 +114,7 @@ class Evolve3D:
         self._chem = _chem
         self._counts = _counts
         self._sum = _sum
+        self._lossrate = _lossrate
 
     # ------------------------------------------------------------------
     def _radius_ladder(self):
@@ -119,10 +140,15 @@ class Evolve3D:
         return np.minimum(assign, len(ladder) - 1).astype(np.int64)
 
     def _adaptive_sweep(self, ndens, xh_av, srcpos_np, nflux_np, srcpos,
-                        nflux, sc, lls_grid, assign):
+                        nflux, sc, lls_grid, assign, nfx_np=None):
         """Sweep sources grouped by their assigned radius; promote leaky
         sources for the next convergence iteration (the TPU analogue of
-        the reference's subbox growth loop, evolve_source.F90:128-212)."""
+        the reference's subbox growth loop, evolve_source.F90:128-212).
+
+        Buckets below the full-grid radius run through the windowed sweep
+        (ops.sweep.raytrace_windowed) so their cost scales with sum(r^3);
+        all host syncs are deferred to after the last bucket dispatch.
+        """
         cfg = self.cfg
         dtype = cfg.jnp_dtype
         n = cfg.mesh[0]
@@ -131,8 +157,9 @@ class Evolve3D:
         phih = jnp.zeros((n, n, n), dtype)
         heat = (jnp.zeros((n, n, n), dtype) if not cfg.isothermal
                 else jnp.zeros((), dtype))
-        loss = 0.0
-        lls_loss = 0.0
+        loss_parts = []
+        lls_parts = []
+        pending = []   # (idx, device per-source losses) — synced after loop
         per_src = np.zeros(s)
         for b, radius in enumerate(ladder):
             idx = np.where(assign == b)[0]
@@ -143,14 +170,27 @@ class Evolve3D:
             flux_p = np.zeros(cap)
             pos_p[:len(idx)] = srcpos_np[idx]
             flux_p[:len(idx)] = nflux_np[idx]
+            if nfx_np is not None:
+                fx_p = np.zeros(cap)
+                fx_p[:len(idx)] = nfx_np[idx]
+                fx_p = jnp.asarray(fx_p, dtype)
+            else:
+                fx_p = None
             ph, he, lo, ll, ps = self._sweep_r(
                 ndens, xh_av, jnp.asarray(pos_p),
-                jnp.asarray(flux_p, dtype), sc, lls_grid, max_shell=radius)
+                jnp.asarray(flux_p, dtype), sc, lls_grid, fx_p,
+                max_shell=radius)
             phih = phih + ph
             if not cfg.isothermal:
                 heat = heat + he
-            loss += float(lo)
-            lls_loss += float(ll)
+            loss_parts.append(lo)
+            lls_parts.append(ll)
+            pending.append((idx, ps))
+        # one sync point after all buckets are dispatched
+        loss = float(sum(float(x) for x in loss_parts)) if loss_parts else 0.0
+        lls_loss = (float(sum(float(x) for x in lls_parts))
+                    if lls_parts else 0.0)
+        for idx, ps in pending:
             per_src[idx] = np.asarray(ps)[:len(idx)]
         # promotion: escaping photons above loss_fraction of the source's
         # output (c2ray_parameters.f90:67)
@@ -167,7 +207,7 @@ class Evolve3D:
                  cosmo_cool_coeff: float = 0.0,
                  stats: Optional[PhotonStatistics] = None,
                  dumper=None, iter_restart: Optional[dict] = None,
-                 verbose: bool = False):
+                 nflux_xray=None, verbose: bool = False):
         """One global timestep (evolve3D, evolve.F90:83-281).
 
         dumper: optional utils.checkpoint.IterDumper - writes the
@@ -185,7 +225,14 @@ class Evolve3D:
         srcpos = jnp.asarray(srcpos, jnp.int32)
         nflux = jnp.asarray(nflux, dtype)
         num_src = int(srcpos.shape[0])
+        use_xray = cfg.sed.use_xray_sed and nflux_xray is not None
+        nfx_np = np.asarray(nflux_xray, np.float64) if use_xray else None
+        nfx = jnp.asarray(nflux_xray, dtype) if use_xray else None
         radius_assign = None             # adaptive subbox state (per step)
+        # auto: adaptive subbox radii for the many-source production regime
+        # (evolve_source.F90:128-136; on request VERDICT r1 item 1)
+        use_adaptive = (cfg.adaptive_sweep if cfg.adaptive_sweep is not None
+                        else num_src >= cfg.adaptive_auto_min_sources)
 
         sc = SweepScalars(
             dr=jnp.asarray(dr_proper, dtype),
@@ -263,7 +310,7 @@ class Evolve3D:
 
             # pass over all sources (rates implicitly zeroed by functional
             # accumulation; evolve.F90:243-246)
-            if cfg.adaptive_sweep:
+            if use_adaptive:
                 if radius_assign is None:
                     nd_mean = float(jnp.mean(ndens_proper))
                     radius_assign = self._initial_radii(
@@ -271,20 +318,29 @@ class Evolve3D:
                 (phih, phiheat, photon_loss, lls_loss, per_src_loss,
                  radius_assign) = self._adaptive_sweep(
                     ndens_proper, xh_av, srcpos_np, nflux_np, srcpos, nflux,
-                    sc, lls_grid, radius_assign)
+                    sc, lls_grid, radius_assign, nfx_np=nfx_np)
             else:
                 phih, phiheat, ploss, llsl, psrc = self._sweep(
-                    ndens_proper, xh_av, srcpos, nflux, sc, lls_grid)
+                    ndens_proper, xh_av, srcpos, nflux, sc, lls_grid, nfx)
                 photon_loss = float(ploss)
                 lls_loss = float(llsl)
                 per_src_loss = np.asarray(psrc)
+
+            # redistributed boundary losses (add_photon_losses,
+            # evolve.F90:519-525 + evolve_point.F90:497-506)
+            if cfg.add_photon_losses and photon_loss > 0.0:
+                plr = self._lossrate(ndens_proper, xh_av, sc,
+                                     jnp.asarray(photon_loss / n_cells,
+                                                 dtype))
+            else:
+                plr = jnp.zeros((), dtype)
 
             # global chemistry pass (evolve.F90:269, global_pass :499-573)
             chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
                               xh_int, xh_av, phih,
                               phiheat if not cfg.isothermal else None,
                               t_cur, t_av, clump,
-                              jnp.asarray(cosmo_cool_coeff, dtype))
+                              jnp.asarray(cosmo_cool_coeff, dtype), plr)
             xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
             if not cfg.isothermal:
                 t_int, t_av = chem.temper_intermed, chem.temper_av
