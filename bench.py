@@ -75,11 +75,21 @@ def main():
     if backend == "auto":
         backend = ("pallas" if jax.devices()[0].platform == "tpu"
                    else "facemajor")
+    windowed = (args.max_shell is not None
+                and 2 * args.max_shell + 1 <= n - 1)
+    if args.batch:
+        batch = args.batch
+    elif windowed:
+        # windowed sweeps: batch bounded so a batch of (2r+1)^3 windows
+        # stays comfortably in HBM even at 10^4+ sources
+        batch = min(args.sources, 256)
+    else:
+        batch = args.sources
     cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
                               type_of_lls=1, cosmological=False,
                               shell_bucket_size=args.bucket,
                               sweep_backend=backend,
-                              source_batch=args.batch or args.sources)
+                              source_batch=batch)
     tables = build_rad_tables(cfg)
 
     rng = np.random.default_rng(0)

@@ -740,25 +740,6 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
                       max_shell, row_ci=row_ci, nflux_xray=nflux_xray)
 
 
-def _fold_axis(x: jax.Array, ax: int, n: int, r: int) -> jax.Array:
-    """Fold an r-cell periodic halo of axis `ax` back into the core."""
-    lo = lax.slice_in_dim(x, 0, r, axis=ax)
-    core = lax.slice_in_dim(x, r, r + n, axis=ax)
-    hi = lax.slice_in_dim(x, r + n, r + n + r, axis=ax)
-    head = lax.slice_in_dim(core, 0, r, axis=ax) + hi
-    mid = lax.slice_in_dim(core, r, n - r, axis=ax)
-    tail = lax.slice_in_dim(core, n - r, n, axis=ax) + lo
-    return lax.concatenate([head, mid, tail], ax)
-
-
-def fold_halo(x_pad: jax.Array, n: int, r: int) -> jax.Array:
-    """Collapse an (n+2r)^3 periodically-padded accumulator to n^3 by
-    wrapping the halo contributions back into the core (requires 2r <= n)."""
-    for ax in range(3):
-        x_pad = _fold_axis(x_pad, ax, n, r)
-    return x_pad
-
-
 def raytrace_windowed(cfg: RunConfig, tables: RadTables,
                       ndens: jax.Array, xh_av1: jax.Array,
                       srcpos: jax.Array, nflux: jax.Array,
@@ -777,9 +758,12 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
         lands exactly at the window center, so the whole single-source
         wavefront machinery (facemajor march + vectorized rate pass) runs
         unchanged on a virtual (2r+1)^3 mesh,
-      * rates scatter back through a padded accumulator grid
-        (read-add-write of the window, sequential within a vmapped batch),
-        whose halo is folded into the core once at the end.
+      * rates scatter back with ONE mod-N scatter-add per batch (windows
+        may overlap each other and the periodic boundary; duplicate
+        indices sum) - a single HLO, the only viable shape on a stack
+        with ~0.35 ms fixed cost per op (BENCH_HISTORY.md),
+      * with the Pallas backend the whole r-shell window march is one
+        kernel invocation per batch (compute_columns_pallas).
 
     The window boundary coincides with the max_shell boundary, so the
     escaping-photon tally is exactly the reference's subbox-face loss
@@ -794,7 +778,6 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     assert p <= n, "window must fit in the grid; use the full sweep"
     cfgw = cfg.replace(mesh=(p, p, p))
     dtype = ndens.dtype
-    npad = n + 2 * r
 
     ndhi = neutral_density(cfg, ndens, xh_av1)
     ndhi_pad = jnp.pad(ndhi, r, mode="wrap")
@@ -817,46 +800,65 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     nflux_b = nflux.reshape(nbatch, b)
     nfx_b = nflux_xray.reshape(nbatch, b)
 
-    def sweep_one(pos, nf, nfx):
-        corner = (pos[0], pos[1], pos[2])   # padded coords of window corner
-        win = lax.dynamic_slice(ndhi_pad, corner, (p, p, p))
-        lwin = (lax.dynamic_slice(lls_pad, corner, (p, p, p))
-                if lls_pad is not None else None)
-        return sweep_single_source(cfgw, tables, win, nf, sc, lls_c=lwin,
-                                   max_shell=r,
-                                   nflux_xray=nfx if have_x else None)
+    # the whole-sweep Pallas kernel collapses the r-shell march to a
+    # single op per batch - decisive on this op-latency-bound stack
+    use_pallas = False
+    if cfg.sweep_backend == "pallas" and lls_grid is None:
+        from .sweep_pallas import compute_columns_pallas, \
+            pallas_sweep_available
+        use_pallas = pallas_sweep_available(cfgw, lls_grid)
 
-    vsweep = jax.vmap(sweep_one)
+    def window_of(field_pad, pos):
+        # window corner in padded coords is exactly the source position
+        return lax.dynamic_slice(field_pad, (pos[0], pos[1], pos[2]),
+                                 (p, p, p))
+
+    def rate_one(cdo, win, lwin, nf, nfx):
+        return _rate_pass(cfgw, tables, cdo, win, nf, sc, lwin, r,
+                          nflux_xray=nfx if have_x else None)
+
+    ar = jnp.arange(p, dtype=jnp.int32)
 
     def one_batch(carry, inp):
         acc, heat_acc, loss_t, lls_t = carry
         pos, nf, nfx = inp
-        res = vsweep(pos, nf, nfx)
+        wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
+        if use_pallas:
+            cdo_b = compute_columns_pallas(cfgw, wins, sc, r)
+            res = jax.vmap(rate_one, in_axes=(0, 0, None, 0, 0))(
+                cdo_b, wins, None, nf, nfx)
+        else:
+            lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
+                     if lls_pad is not None else None)
 
-        # sequential read-add-write scatter of the batch windows (windows
-        # may overlap, so this cannot vmap; each write is O(p^3))
-        def put(i, grids):
-            a, h = grids
-            corner = (pos[i, 0], pos[i, 1], pos[i, 2])
-            cur = lax.dynamic_slice(a, corner, (p, p, p))
-            a = lax.dynamic_update_slice(a, cur + res.phih[i], corner)
-            if not cfg.isothermal:
-                curh = lax.dynamic_slice(h, corner, (p, p, p))
-                h = lax.dynamic_update_slice(h, curh + res.phiheat[i], corner)
-            return a, h
+            def sweep_one(win, lwin, f, fx):
+                return sweep_single_source(
+                    cfgw, tables, win, f, sc, lls_c=lwin, max_shell=r,
+                    nflux_xray=fx if have_x else None)
 
-        acc, heat_acc = lax.fori_loop(0, b, put, (acc, heat_acc))
+            res = jax.vmap(sweep_one,
+                           in_axes=(0, 0 if lls_pad is not None else None,
+                                    0, 0))(wins, lwins, nf, nfx)
+
+        # one scatter-add per batch: windows may overlap each other and
+        # the periodic boundary, so indices are mod-n and duplicates sum
+        ix = (pos[:, 0, None] - r + ar[None, :]) % n      # (b, p)
+        iy = (pos[:, 1, None] - r + ar[None, :]) % n
+        iz = (pos[:, 2, None] - r + ar[None, :]) % n
+        idx = (ix[:, :, None, None], iy[:, None, :, None],
+               iz[:, None, None, :])
+        acc = acc.at[idx].add(res.phih, mode="promise_in_bounds")
+        if not cfg.isothermal:
+            heat_acc = heat_acc.at[idx].add(res.phiheat,
+                                            mode="promise_in_bounds")
         return (acc, heat_acc, loss_t + jnp.sum(res.photon_loss),
                 lls_t + jnp.sum(res.lls_loss)), res.photon_loss
 
-    zero_pad = jnp.zeros((npad, npad, npad), dtype)
-    heat0 = zero_pad if not cfg.isothermal else jnp.zeros((), dtype)
-    carry0 = (zero_pad, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
-    (acc, heat_acc, loss, lls_loss), per_src = lax.scan(
+    zero3 = jnp.zeros((n, n, n), dtype)
+    heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
+    carry0 = (zero3, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
+    (phih, heat, loss, lls_loss), per_src = lax.scan(
         one_batch, carry0, (srcpos_b, nflux_b, nfx_b))
-    phih = fold_halo(acc, n, r)
-    heat = (fold_halo(heat_acc, n, r) if not cfg.isothermal
-            else jnp.zeros((), dtype))
     return phih, heat, loss, lls_loss, per_src.reshape(-1)[:s]
 
 

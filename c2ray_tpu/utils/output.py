@@ -139,7 +139,7 @@ class OutputWriter:
         if self._pc1 is not None and time > 0.0:
             self._pc1.write(
                 f"{zred:6.3f}" + "".join(
-                    f"{v:10.3e}" for v in (
+                    f"{v:10.3E}" for v in (
                         stats.total_ion, totalsrc, photcons,
                         stats.dh0 / ti, stats.totrec / ti,
                         total_lls_loss / totalsrc if totalsrc else 0.0,
@@ -154,7 +154,7 @@ class OutputWriter:
         massfrac = float((nd * x1).sum()) / float(nd.sum())
         if self._pc2 is not None:
             self._pc2.write(f"{zred:6.3f}" + "".join(
-                f"{v:10.3e}" for v in (totions, stats.grtotal_src,
+                f"{v:10.3E}" for v in (totions, stats.grtotal_src,
                                        volfrac, massfrac)) + "\n")
             self._pc2.flush()
 

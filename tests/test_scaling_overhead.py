@@ -1,0 +1,63 @@
+"""Collective-structure regression gate (SCALING.md).
+
+On the 8-device virtual CPU mesh all devices share the same physical
+cores, so the source-sharded layout can never be faster than serial -
+but it must not be much SLOWER either: its only added communication is
+one rate-grid psum per pass.  A structural regression (a grid all-gather,
+a collective inside the shell loop, accidental replication of per-source
+work) shows up as a large wall-clock blow-up at k=8 and trips this test
+long before real-pod efficiency could be measured.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from c2ray_tpu.config import test_problem_config as make_config
+from c2ray_tpu.ops.sweep import SweepScalars, raytrace_all_sources
+from c2ray_tpu.ops.tables import build_rad_tables
+from c2ray_tpu.parallel.source_shard import make_device_mesh, sharded_raytracer
+
+
+def _timed(fn, args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_source_sharding_overhead_bounded():
+    n = 32
+    cfg = make_config(mesh=n, dtype="float32", use_lls=False,
+                      cosmological=False)
+    tables = build_rad_tables(cfg)
+    rng = np.random.default_rng(0)
+    ndens = jnp.full((n, n, n), jnp.float32(1.98e-4))
+    xh = jnp.full((n, n, n), jnp.float32(2e-4))
+    srcpos = jnp.asarray(rng.integers(0, n, (8, 3)), jnp.int32)
+    nflux = jnp.asarray(10.0 ** rng.uniform(7, 9, 8), jnp.float32)
+    dr = jnp.float32(2.9e22)
+    cbrt_s = float(cfg.sed.s_star) ** (1.0 / 3.0)
+    sc = SweepScalars(dr=dr, rate_scale=(jnp.float32(cbrt_s) / dr) ** 3,
+                      lls_coldens=jnp.float32(0.0),
+                      rmax2_cells=jnp.float32(0.0))
+
+    serial = jax.jit(lambda *a: raytrace_all_sources(cfg, tables, *a, sc))
+    rt8 = sharded_raytracer(make_device_mesh(8))
+    sharded = jax.jit(lambda *a: rt8(cfg, tables, *a, sc))
+
+    t1 = _timed(serial, (ndens, xh, srcpos, nflux))
+    t8 = _timed(sharded, (ndens, xh, srcpos, nflux))
+    # shared physical cores: ideal is parity; >2x means structural bloat
+    assert t8 < 2.0 * t1 + 0.05, (t1, t8)
+    # and the results agree
+    a = np.asarray(serial(ndens, xh, srcpos, nflux)[0])
+    b = np.asarray(sharded(ndens, xh, srcpos, nflux)[0])
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-12)
