@@ -194,12 +194,13 @@ def cubep3m_adapter(cfg: RunConfig, boxsize: float, n_box: int,
 def lg_adapter(cfg: RunConfig, boxsize: float, n_box: int,
                redshift_file: str, id_str: str = "dmdens_cic",
                dir_dens: str = "", dir_src: str = "",
-               density_unit: str = "mass_density") -> NbodyAdapter:
+               density_unit: str = "M0Mpc3") -> NbodyAdapter:
     """Local Group (CLUES) simulation adapter (nbody_LG.F90): snapshot
-    numbers in file names, mass-density units."""
+    counters in file names, M_sun/Mpc^3 density units (nbody_LG.F90:91).
+    The redshift file carries (snapshot, z) pairs (nbody_LG.F90:219-221)."""
     with open(redshift_file) as f:
         n = int(f.readline().split()[0])
-        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+        zreds = np.array([float(f.readline().split()[1]) for _ in range(n)])
     return NbodyAdapter(cfg=cfg, nbody_type="LG", boxsize=boxsize,
                         n_box=n_box, id_str=id_str, dir_dens=dir_dens,
                         dir_src=dir_src, density_unit=density_unit,
@@ -210,14 +211,15 @@ def pmfast_adapter(cfg: RunConfig, boxsize: float, n_box: int,
                    redshift_file: str, id_str: str = "coarse",
                    dir_dens: str = "", dir_src: str = "",
                    density_unit: str = "grid") -> NbodyAdapter:
-    """PMFAST simulation adapter (nbody_pmfast.F90)."""
+    """PMFAST simulation adapter (nbody_pmfast.F90).  Density cubes are
+    headerless (densityheader=.false., nbody_pmfast.F90:94)."""
     with open(redshift_file) as f:
         n = int(f.readline().split()[0])
         zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
     return NbodyAdapter(cfg=cfg, nbody_type="pmfast", boxsize=boxsize,
                         n_box=n_box, id_str=id_str, dir_dens=dir_dens,
                         dir_src=dir_src, density_unit=density_unit,
-                        zred_array=zreds)
+                        density_header=False, zred_array=zreds)
 
 
 def gadget_adapter(cfg: RunConfig, boxsize: float,

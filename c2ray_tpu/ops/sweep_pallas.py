@@ -108,8 +108,10 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary"),
             # the exact (precision=HIGHEST) one-hot mirror contractions in
             # the wedge fixups need more kernel stack than the default
-            # 16 MiB scoped-vmem budget at N=256 (measured 19.8 MiB)
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # 16 MiB scoped-vmem budget at N=256 (measured 19.8 MiB);
+            # 512^3 plane stacks (6.3 MiB each, ~5 live) need most of the
+            # 128 MiB v5e VMEM
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(params, ndhi_faces)
 
     # out holds planes for shells d = 1..max_shell; _unstage_faces consumes
@@ -122,5 +124,7 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
 def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:
     n = cfg.mesh[0]
     vmem_need = 6 * n * n * 4 * 5      # prev + ~2x in + ~2x out buffers
+    # v5e VMEM is 128 MiB; the 512^3 production mesh needs ~31 MiB of
+    # plane stacks + fixup intermediates (validated on hardware round 2)
     return (cfg.sweep_backend == "pallas" and lls_c is None
-            and vmem_need < 12 * 1024 * 1024)
+            and vmem_need < 44 * 1024 * 1024)
