@@ -176,6 +176,11 @@ class RunConfig:
 
     # --- initial conditions (ionfractions_module.F90:41-50 RECFAST value) ---
     initial_xh: float = 2e-4
+    # compressed ionization-fraction storage (the reference's compressed/
+    # variant): store min(x_HI, x_HII) with the sign marking which, so
+    # BOTH tails survive float32 (state.py compress_xh).  GridState.xh1
+    # and the solver iterates then hold the signed compressed form.
+    compressed_xfrac: bool = False
 
     # --- rate evaluation (TPU-native; no reference equivalent) ---
     # "table": linear interpolation in the tau tables (reference-exact);

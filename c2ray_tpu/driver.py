@@ -141,6 +141,13 @@ class C2RayDriver:
         if self.verbose:
             print(*msg, flush=True)
 
+    def _x1(self, state) -> np.ndarray:
+        """Dense ionized fraction (decodes compressed storage)."""
+        if self.cfg.compressed_xfrac:
+            from .state import xh1_of
+            return np.asarray(xh1_of(state.xh1))
+        return np.asarray(state.xh1)
+
     # ------------------------------------------------------------------
     def run(self, max_slices: Optional[int] = None) -> GridState:
         cfg = self.cfg
@@ -229,7 +236,7 @@ class C2RayDriver:
                 cat = read_suppressed_source_list(sup_file)
             else:
                 rows = ad.read_sources(zred, nz)
-                cat = self.source_model.load(rows, np.asarray(state.xh1), nz,
+                cat = self.source_model.load(rows, self._x1(state), nz,
                                              end_time - sim_time, dt_slice=dt)
                 if cat.num_src == 0:
                     # bank the slice's photon budget (sourceprops.F90:199-207)
@@ -318,7 +325,7 @@ class C2RayDriver:
                     from .solver import EvolveInfo
                     info = EvolveInfo(
                         niter=0, conv_flag=0, converged=True,
-                        mean_xh1=float(np.mean(np.asarray(state.xh1))),
+                        mean_xh1=float(np.mean(self._x1(state))),
                         photon_loss=0.0, lls_loss=0.0,
                         per_source_loss=np.zeros(0), photon_stats={})
                 iter_restart = None   # consumed by the first step only
@@ -355,17 +362,17 @@ class C2RayDriver:
         if out.streams[0]:
             x_coords = (np.arange(cfg.mesh[0]) + 0.5) * float(dr_proper)
             src0 = cat.srcpos[0] if cat.num_src else (0, 0, 0)
-            out.write_stream1(zred, x_coords, np.asarray(state.xh1),
+            out.write_stream1(zred, x_coords, self._x1(state),
                               state.temper_current, np.asarray(nd_proper),
                               src0)
         if out.streams[1]:
-            out.write_stream2(zred, state.xh1, state.temper_current)
+            out.write_stream2(zred, self._x1(state), state.temper_current)
         if out.streams[2] and info.phih is not None:
             out.write_stream3(zred, info.phih, info.phiheat)
         if out.streams[3]:
-            out.write_stream4(zred, np.asarray(state.xh1))
+            out.write_stream4(zred, self._x1(state))
         if out.streams[4]:
             out.write_stream5(zred, np.asarray(nd_proper))
         return out.write_photonstatistics(
             zred, sim_time, dt, self.stats, info.photon_loss, info.lls_loss,
-            cat.total_flux, nd_proper, state.xh1, vol)
+            cat.total_flux, nd_proper, self._x1(state), vol)

@@ -66,11 +66,26 @@ def global_chemistry(cfg: RunConfig, dt,
     dtype = ndens.dtype
     eps = cfg.epsilon
     dt = jnp.asarray(dt, dtype)
+    compressed = cfg.compressed_xfrac
 
-    # initial local states (evolve_point.F90:341-354)
-    h1_start = jnp.maximum(eps, xh1_intermed)
-    h1_old = jnp.maximum(eps, xh1_old)
-    h_av1_start = jnp.maximum(eps, xh1_av)
+    # initial local states (evolve_point.F90:341-354); under compressed
+    # storage (state.compress_xh) the x inputs are signed min-fraction
+    # arrays and BOTH sides decode tail-exactly
+    if compressed:
+        from ..state import compress_xh, xh0_of, xh1_of
+        h1_start = jnp.maximum(eps, xh1_of(xh1_intermed))
+        h0_start = jnp.maximum(eps, xh0_of(xh1_intermed))
+        h1_old = jnp.maximum(eps, xh1_of(xh1_old))
+        h0_old = jnp.maximum(eps, xh0_of(xh1_old))
+        h_av1_start = jnp.maximum(eps, xh1_of(xh1_av))
+        h_av0_start = jnp.maximum(eps, xh0_of(xh1_av))
+    else:
+        h1_start = jnp.maximum(eps, xh1_intermed)
+        h1_old = jnp.maximum(eps, xh1_old)
+        h_av1_start = jnp.maximum(eps, xh1_av)
+        h0_start = 1.0 - h1_start
+        h0_old = None
+        h_av0_start = jnp.maximum(eps, 1.0 - h_av1_start)
 
     isothermal = cfg.isothermal
     if isothermal:
@@ -85,17 +100,19 @@ def global_chemistry(cfg: RunConfig, dt,
     max_iter = cfg.max_chemistry_iterations
 
     def cond(state):
-        nit, h1, h_av1, t_int, t_av, active = state
+        nit = state[0]
+        active = state[-1]
         return jnp.logical_and(nit <= max_iter, jnp.any(active))
 
     def body(state):
-        nit, h1, h_av1, t_int, t_av, active = state
-        h_av0_prev = jnp.maximum(1.0 - h_av1, eps)
+        nit, h1, h0, h_av1, h_av0, t_int, t_av, active = state
+        h_av0_prev = h_av0 if compressed else jnp.maximum(1.0 - h_av1, eps)
         # mean electron density from the time-averaged state
         de = electrondens(ndens, h_av1)
         # doric restarts from the step-initial state each iteration
         # (evolve_point.F90:463)
-        res = doric(cfg, dt, t_av, de, h1_old, phih_total, clumping)
+        res = doric(cfg, dt, t_av, de, h1_old, phih_total, clumping,
+                    xh0_old=h0_old)
         if isothermal:
             t_int_new, t_av_new = t_int, t_av
         else:
@@ -113,21 +130,29 @@ def global_chemistry(cfg: RunConfig, dt,
             res.xh0_av < cfg.minimum_fraction_of_atoms)
         keep = lambda new, old: jnp.where(active, new, old)
         h1_n = keep(res.xh1, h1)
+        h0_n = keep(res.xh0, h0)
         h_av1_n = keep(res.xh1_av, h_av1)
+        h_av0_n = keep(res.xh0_av, h_av0)
         t_int_n = keep(t_int_new, t_int)
         t_av_n = keep(t_av_new, t_av)
         active_n = jnp.logical_and(active, jnp.logical_not(converged))
-        return (nit + 1, h1_n, h_av1_n, t_int_n, t_av_n, active_n)
+        return (nit + 1, h1_n, h0_n, h_av1_n, h_av0_n, t_int_n, t_av_n,
+                active_n)
 
     active0 = jnp.ones(ndens.shape, bool)
-    state0 = (jnp.asarray(1, jnp.int32), h1_start, h_av1_start,
-              t_cur0, t_av0, active0)
-    nit, h1, h_av1, t_int, t_av, _ = lax.while_loop(cond, body, state0)
+    state0 = (jnp.asarray(1, jnp.int32), h1_start, h0_start, h_av1_start,
+              h_av0_start, t_cur0, t_av0, active0)
+    nit, h1, h0, h_av1, h_av0_n, t_int, t_av, _ = lax.while_loop(
+        cond, body, state0)
 
     # outer non-convergence count (evolve_point.F90:384-391)
-    yh1_av_old = jnp.maximum(eps, xh1_av)
-    yh0_av_old = 1.0 - yh1_av_old
-    h_av0 = jnp.maximum(1.0 - h_av1, eps)
+    if compressed:
+        yh0_av_old = h_av0_start
+        h_av0 = h_av0_n
+    else:
+        yh1_av_old = jnp.maximum(eps, xh1_av)
+        yh0_av_old = 1.0 - yh1_av_old
+        h_av0 = jnp.maximum(1.0 - h_av1, eps)
     mfc = cfg.minimum_fractional_change
     ion_cond = ((jnp.abs(h_av0 - yh0_av_old) > mfc)
                 & (jnp.abs((h_av0 - yh0_av_old) / h_av0) > mfc)
@@ -139,4 +164,9 @@ def global_chemistry(cfg: RunConfig, dt,
                      & (jnp.abs(t_av0 - t_av) > 100.0))
     conv_flag = jnp.sum(ion_cond | temp_cond).astype(jnp.int32)
 
+    if compressed:
+        out_int = compress_xh(h1, h0)
+        out_av = compress_xh(h_av1, h_av0_n)
+        return ChemistryResult(out_int, out_av, t_int, t_av, conv_flag,
+                               nit - 1)
     return ChemistryResult(h1, h_av1, t_int, t_av, conv_flag, nit - 1)

@@ -34,7 +34,7 @@ def electrondens(ndens: jax.Array, xh1: jax.Array) -> jax.Array:
 
 
 def doric(cfg: RunConfig, dt, temperature, rhe, xh1_old, phih,
-          clumping=1.0) -> DoricResult:
+          clumping=1.0, xh0_old=None) -> DoricResult:
     """Time-dependent H ionization solution over a step dt.
 
     Args mirror doric.f90:33-134:
@@ -49,6 +49,13 @@ def doric(cfg: RunConfig, dt, temperature, rhe, xh1_old, phih,
       D = A + n_e * C * alphaB(T)        (relaxation rate)
       x_eq = A / D ;  x(t) = (x0 - x_eq) e^{-D dt} + x_eq
       <x> = x_eq + (x0 - x_eq) (1 - e^{-D dt}) / (D dt)
+
+    xh0_old: optional EXACT start-of-step neutral fraction (the
+    compressed-storage path, state.compress_xh).  When given, the
+    neutral-side solution and average are computed natively from it (the
+    same relaxation toward eqxfh0), so the x_HI tail never routes
+    through 1 - x_HII; when None the reference's 1-x formulas apply
+    bitwise-unchanged.
     """
     dtype = jnp.result_type(xh1_old)
     eps = jnp.asarray(cfg.epsilon, dtype)
@@ -65,7 +72,9 @@ def doric(cfg: RunConfig, dt, temperature, rhe, xh1_old, phih,
     deltht = delth * dt
     ee = jnp.exp(-deltht)
 
-    xh0_old = 1.0 - xh1_old
+    native_xh0 = xh0_old is not None
+    if not native_xh0:
+        xh0_old = 1.0 - xh1_old
     xh1 = (xh1_old - eqxfh1) * ee + eqxfh1
     xh0 = (xh0_old - eqxfh0) * ee + eqxfh0
 
@@ -80,7 +89,13 @@ def doric(cfg: RunConfig, dt, temperature, rhe, xh1_old, phih,
                            jnp.ones_like(deltht),
                            -jnp.expm1(-deltht) / deltht)
     xh1_av = eqxfh1 + (xh1_old - eqxfh1) * avg_factor
-    xh0_av = 1.0 - xh1_av
-    xh0_av = jnp.maximum(xh0_av, eps)  # doric.f90:128
+    if native_xh0:
+        # the same relaxation applied to the neutral side directly
+        # (mathematically 1 - xh1_av; tail-exact in float32)
+        xh0_av = eqxfh0 + (xh0_old - eqxfh0) * avg_factor
+        xh0_av = jnp.maximum(xh0_av, eps)
+    else:
+        xh0_av = 1.0 - xh1_av
+        xh0_av = jnp.maximum(xh0_av, eps)  # doric.f90:128
 
     return DoricResult(xh1, xh0, xh1_av, xh0_av)

@@ -671,8 +671,15 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
 def neutral_density(cfg: RunConfig, ndens: jax.Array,
                     xh_av1: jax.Array) -> jax.Array:
     """ndhi = max(1 - max(x_av, eps), eps) * n - the epsilon-clamped
-    time-averaged neutral density (evolve_point.F90:137-142)."""
+    time-averaged neutral density (evolve_point.F90:137-142).
+
+    Under compressed storage (cfg.compressed_xfrac) xh_av1 is the signed
+    min-fraction form and the neutral side decodes tail-exactly."""
     eps = cfg.epsilon
+    if cfg.compressed_xfrac:
+        xh0 = jnp.where(xh_av1 >= 0,
+                        1.0 - jnp.maximum(xh_av1, eps), -xh_av1)
+        return jnp.maximum(xh0, eps) * ndens
     return jnp.maximum(1.0 - jnp.maximum(xh_av1, eps), eps) * ndens
 
 

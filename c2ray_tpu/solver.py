@@ -85,9 +85,15 @@ class Evolve3D:
                                     cool, cosmo_cool_coeff,
                                     photon_loss_rate=photon_loss_rate)
 
+        def _dense_x1(x):
+            if cfg.compressed_xfrac:
+                from .state import xh1_of
+                return xh1_of(x)
+            return x
+
         @jax.jit
         def _counts(ndens, xh1, t_av, clumping):
-            return grid_counts(cfg, ndens, xh1, t_av, clumping)
+            return grid_counts(cfg, ndens, _dense_x1(xh1), t_av, clumping)
 
         @jax.jit
         def _lossrate(ndens, xh_av1, sc, loss_per_cell):
@@ -107,7 +113,8 @@ class Evolve3D:
 
         @jax.jit
         def _sum(x):
-            return jnp.sum(x)
+            # total ionized fraction (decodes compressed storage)
+            return jnp.sum(_dense_x1(x))
 
         self._sweep = _sweep
         self._sweep_r = _sweep_r

@@ -28,6 +28,8 @@ class GridState(NamedTuple):
     """Prognostic fields (all (N,N,N) at cfg dtype).
 
     xh1:      H ionized fraction at the last completed step (xh).
+              With cfg.compressed_xfrac this holds the COMPRESSED form
+              (see compress_xh below); decode with xh1_of/xh0_of.
     temper_*: temperature states {current, average, intermed}
               (temperature_module.F90:21-35); None when isothermal.
     """
@@ -36,6 +38,37 @@ class GridState(NamedTuple):
     temper_current: Optional[jax.Array] = None
     temper_av: Optional[jax.Array] = None
     temper_intermed: Optional[jax.Array] = None
+
+
+# ---------------------------------------------------------------------------
+# compressed ionization-fraction storage (the reference's compressed/
+# variant, compressed/README:1-13): always store the SMALLER of
+# (x_HI, x_HII), the sign disambiguating which - negative means x_HI is
+# stored.  This keeps full float precision on BOTH tails: the neutral
+# fraction inside ionized regions (which sets the residual opacity and
+# recombination photon budget) survives float32 storage, where the plain
+# representation floors it at ~1e-7 (1 - float32-nearest-to-1).
+# ---------------------------------------------------------------------------
+
+def compress_xh(xh1: jax.Array, xh0: Optional[jax.Array] = None) -> jax.Array:
+    """Encode (x_HII [, x_HI]) into the signed compressed form.
+
+    Pass the natively-computed neutral fraction xh0 when available (the
+    chemistry does) so the x_HI tail never routes through 1 - x_HII.
+    """
+    if xh0 is None:
+        xh0 = 1.0 - xh1
+    return jnp.where(xh1 <= 0.5, xh1, -xh0)
+
+
+def xh1_of(xc: jax.Array) -> jax.Array:
+    """Ionized fraction from the compressed form (tail-exact for x<=0.5)."""
+    return jnp.where(xc >= 0, xc, 1.0 + xc)
+
+
+def xh0_of(xc: jax.Array) -> jax.Array:
+    """Neutral fraction from the compressed form (tail-exact for x_HI<=0.5)."""
+    return jnp.where(xc >= 0, 1.0 - xc, -xc)
 
 
 class MaterialState(NamedTuple):
@@ -58,6 +91,8 @@ def initial_state(cfg: RunConfig) -> GridState:
     n = cfg.mesh
     dt = cfg.jnp_dtype
     xh1 = jnp.full(n, cfg.initial_xh, dt)
+    if cfg.compressed_xfrac:
+        xh1 = compress_xh(xh1)
     if cfg.isothermal:
         return GridState(xh1=xh1)
     t = jnp.full(n, cfg.initial_temperature, dt)

@@ -41,6 +41,10 @@ def load_slice_restart(cfg: RunConfig, results_dir: str,
     zs = fortran_f6_3(zred)
     xh1 = read_sm3d(os.path.join(results_dir, f"xfrac3D_{zs}.bin"),
                     np.float64, expect_mesh=cfg.mesh)
+    if cfg.compressed_xfrac:
+        # encode BEFORE the f32 cast so the x_HI tail survives
+        from ..state import compress_xh
+        xh1 = np.asarray(compress_xh(jnp.asarray(xh1)))
     xh1 = jnp.asarray(xh1.astype(cfg.np_dtype))
     if cfg.isothermal:
         return GridState(xh1=xh1)
