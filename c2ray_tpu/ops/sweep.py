@@ -810,7 +810,7 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     # the whole-sweep Pallas kernel collapses the r-shell march to a
     # single op per batch - decisive on this op-latency-bound stack
     use_pallas = False
-    if cfg.sweep_backend == "pallas" and lls_grid is None:
+    if cfg.sweep_backend == "pallas":
         from .sweep_pallas import compute_columns_pallas, \
             pallas_sweep_available
         use_pallas = pallas_sweep_available(cfgw, lls_grid)
@@ -830,22 +830,21 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
         acc, heat_acc, loss_t, lls_t = carry
         pos, nf, nfx = inp
         wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
+        lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
+                 if lls_pad is not None else None)
+        lax_ax = 0 if lls_pad is not None else None
         if use_pallas:
-            cdo_b = compute_columns_pallas(cfgw, wins, sc, r)
-            res = jax.vmap(rate_one, in_axes=(0, 0, None, 0, 0))(
-                cdo_b, wins, None, nf, nfx)
+            cdo_b = compute_columns_pallas(cfgw, wins, sc, r, lls_cb=lwins)
+            res = jax.vmap(rate_one, in_axes=(0, 0, lax_ax, 0, 0))(
+                cdo_b, wins, lwins, nf, nfx)
         else:
-            lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
-                     if lls_pad is not None else None)
-
             def sweep_one(win, lwin, f, fx):
                 return sweep_single_source(
                     cfgw, tables, win, f, sc, lls_c=lwin, max_shell=r,
                     nflux_xray=fx if have_x else None)
 
-            res = jax.vmap(sweep_one,
-                           in_axes=(0, 0 if lls_pad is not None else None,
-                                    0, 0))(wins, lwins, nf, nfx)
+            res = jax.vmap(sweep_one, in_axes=(0, lax_ax, 0, 0))(
+                wins, lwins, nf, nfx)
 
         # one scatter-add per batch: windows may overlap each other and
         # the periodic boundary, so indices are mod-n and duplicates sum
@@ -938,7 +937,7 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
     ndhi = neutral_density(cfg, ndens, xh_av1)
 
     use_pallas = False
-    if cfg.sweep_backend == "pallas" and lls_grid is None:
+    if cfg.sweep_backend == "pallas":
         from .sweep_pallas import compute_columns_pallas, \
             pallas_sweep_available
         use_pallas = pallas_sweep_available(cfg, lls_grid)
@@ -951,23 +950,31 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
         return jnp.roll(field, (pos[1] - c, pos[2] - c), axis=(1, 2))
 
     if use_pallas:
-        def _slab_rate(cdo, x, f, fx, pos):
+        def _slab_rate(cdo, x, lc, f, fx, pos):
             fx = fx if have_x else None
             if slab is None:
-                return _rate_pass(cfg, tables, cdo, x, f, sc, None, d_sweep,
+                return _rate_pass(cfg, tables, cdo, x, f, sc, lc, d_sweep,
                                   nflux_xray=fx)
             x0, m = slab
             return _rate_pass(cfg, tables,
                               _slab_rows_take(cdo, m, x0, pos[0]),
                               _slab_rows_take(x, m, x0, pos[0]),
-                              f, sc, None, d_sweep,
+                              f, sc, _slab_rows_take(lc, m, x0, pos[0]),
+                              d_sweep,
                               row_ci=slab_rows(n, m, x0, pos[0]),
                               nflux_xray=fx)
 
+        lls_ax = 0 if lls_grid is not None else None
+
         def vsweep(pos_b, nf_b, nfx_b):
             ndhi_cb = jax.vmap(lambda p: roll3(ndhi, c - p))(pos_b)
-            cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep)
-            res_b = jax.vmap(_slab_rate)(cdo_b, ndhi_cb, nf_b, nfx_b, pos_b)
+            lls_cb = (jax.vmap(lambda p: roll3(lls_grid, c - p))(pos_b)
+                      if lls_grid is not None else None)
+            cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep,
+                                           lls_cb=lls_cb)
+            res_b = jax.vmap(_slab_rate,
+                             in_axes=(0, 0, lls_ax, 0, 0, 0))(
+                cdo_b, ndhi_cb, lls_cb, nf_b, nfx_b, pos_b)
             ph = jax.vmap(_to_grid)(res_b.phih, pos_b)
             he = (jax.vmap(_to_grid)(res_b.phiheat, pos_b)
                   if not cfg.isothermal else res_b.phiheat)

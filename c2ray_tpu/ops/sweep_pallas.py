@@ -11,9 +11,9 @@ Shares the exact plane-update math with the XLA backend
 (ops.sweep._wavefront_plane_update), so results are identical by
 construction; a CPU-interpret-mode test asserts it.
 
-Restrictions of this first kernel: scalar LLS models only (the grid LLS
-variant falls back to the XLA backend), N*N*6*4B blocks must fit VMEM
-(N <= ~320 for float32).
+Handles both scalar LLS models and the type-2 LLS grid (staged face-major
+and streamed as a second VMEM input).  Mesh cap: the validated 512^3
+envelope (pallas_sweep_available).
 
 STATUS: production on TPU (bench.py --backend auto selects it).  The
 round-1 miscompare was root-caused to XLA:TPU host-side bugs, not the
@@ -44,8 +44,12 @@ from .sweep import SweepScalars, _stage_faces, _unstage_faces, \
     _wavefront_plane_update
 
 
-def _kernel(params_ref, ndhi_ref, out_ref, prev_ref, *, cfg: RunConfig,
-            n: int):
+def _kernel(params_ref, ndhi_ref, *rest, cfg: RunConfig, n: int,
+            has_lls: bool):
+    if has_lls:
+        lls_ref, out_ref, prev_ref = rest
+    else:
+        out_ref, prev_ref = rest
     bi = pl.program_id(0)
     d_idx = pl.program_id(1)
     d = d_idx + 1                      # shell number
@@ -60,7 +64,9 @@ def _kernel(params_ref, ndhi_ref, out_ref, prev_ref, *, cfg: RunConfig,
                                      prev_ref.dtype)
 
     dr = params_ref[bi, 0]
-    lcol = params_ref[bi, 1]
+    # grid LLS (type 2): the staged (6,N,N) LLS column planes at shell d,
+    # added per-cell exactly as the XLA backends do (LLS.F90:199-210)
+    lcol = lls_ref[0, 0] if has_lls else params_ref[bi, 1]
     # rowfix: inside the fused kernel the wedge fixups extract only the
     # consumed |t|=d vectors (10 one-hot matvecs, ~10 N^2 MACs) instead
     # of full-plane mirror contractions (~9 N^3 MACs at HIGHEST) -
@@ -72,12 +78,19 @@ def _kernel(params_ref, ndhi_ref, out_ref, prev_ref, *, cfg: RunConfig,
 
 
 def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
-                           sc: SweepScalars, max_shell: int) -> jax.Array:
+                           sc: SweepScalars, max_shell: int,
+                           lls_cb: Optional[jax.Array] = None) -> jax.Array:
     """Batched column march: (B,N,N,N) source-centered neutral densities ->
-    (B,N,N,N) coldensh_out fields."""
+    (B,N,N,N) coldensh_out fields.
+
+    lls_cb: optional (B,N,N,N) source-centered LLS column-density grids
+    (type-2 LLS, LLS.F90:214-316); staged face-major alongside ndhi and
+    streamed into the kernel as a second VMEM input.
+    """
     b, n = ndhi_cb.shape[0], ndhi_cb.shape[1]
     c = n // 2
     dtype = ndhi_cb.dtype
+    has_lls = lls_cb is not None
 
     ndhi_faces = jax.vmap(lambda x: _stage_faces(x, max_shell))(ndhi_cb)
     cdo0 = ndhi_cb[:, c, c, c] * (0.5 * sc.dr)
@@ -88,17 +101,25 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
         jnp.zeros((b,), dtype),
     ], axis=1)                                       # (B, 4)
 
+    face_spec = pl.BlockSpec((1, 1, 6, n, n),
+                             lambda bi, di: (bi, di + 1, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        # whole params array resident in SMEM; indexed by program id
+        pl.BlockSpec((b, 4), lambda bi, di: (0, 0),
+                     memory_space=pltpu.SMEM),
+        face_spec,
+    ]
+    inputs = [params, ndhi_faces]
+    if has_lls:
+        in_specs.append(face_spec)
+        inputs.append(jax.vmap(lambda x: _stage_faces(x, max_shell))(lls_cb))
+
     grid = (b, max_shell)
     out = pl.pallas_call(
-        partial(_kernel, cfg=cfg, n=n),
+        partial(_kernel, cfg=cfg, n=n, has_lls=has_lls),
         grid=grid,
-        in_specs=[
-            # whole params array resident in SMEM; indexed by program id
-            pl.BlockSpec((b, 4), lambda bi, di: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 6, n, n), lambda bi, di: (bi, di + 1, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 6, n, n),
                                lambda bi, di: (bi, di, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -112,7 +133,7 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
             # 512^3 plane stacks (6.3 MiB each, ~5 live) need most of the
             # 128 MiB v5e VMEM
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(params, ndhi_faces)
+    )(*inputs)
 
     # out holds planes for shells d = 1..max_shell; _unstage_faces consumes
     # them directly (concatenating a zero shell-0 plane in front triggers
@@ -123,8 +144,14 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
 
 def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:
     n = cfg.mesh[0]
-    vmem_need = 6 * n * n * 4 * 5      # prev + ~2x in + ~2x out buffers
-    # v5e VMEM is 128 MiB; the 512^3 production mesh needs ~31 MiB of
-    # plane stacks + fixup intermediates (validated on hardware round 2)
-    return (cfg.sweep_backend == "pallas" and lls_c is None
-            and vmem_need < 44 * 1024 * 1024)
+    plane_stack = 6 * n * n * 4        # one (6,N,N) f32 face stack
+    # resident stacks: prev scratch + ~2x in + ~2x out pipeline buffers,
+    # plus ~2x in for the staged LLS faces when a type-2 grid is swept
+    stacks = 5 + (2 if lls_c is not None else 0)
+    # v5e VMEM is 128 MiB (vmem_limit_bytes 120 MiB); the 512^3 mesh needs
+    # ~31 MiB of plane stacks + fixup intermediates without LLS, ~44 MiB
+    # with (both validated on hardware round 2); cap the mesh at the
+    # validated 512^3 envelope
+    return (cfg.sweep_backend == "pallas"
+            and plane_stack * stacks < 62 * 1024 * 1024
+            and n <= 560)

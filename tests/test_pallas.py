@@ -29,6 +29,27 @@ def test_pallas_columns_match_xla(n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+def test_pallas_grid_lls_columns_match_xla():
+    """Type-2 LLS grid streamed into the kernel as a second VMEM input."""
+    n = 16
+    cfg = make_config(mesh=n, dtype="float32", use_lls=True, type_of_lls=2,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(0), jnp.float32(0))
+    rng = np.random.default_rng(7)
+    ndhi_b = jnp.asarray(
+        (rng.uniform(0.2, 1.0, (2, n, n, n)) * 2e-4).astype(np.float32))
+    lls_b = jnp.asarray(
+        (rng.uniform(0.0, 1.0, (2, n, n, n)) * 3e16).astype(np.float32))
+    ref = jax.vmap(
+        lambda x, l: compute_columns_facemajor(cfg, x, sc, l, n // 2))(
+        ndhi_b, lls_b)
+    with pltpu.force_tpu_interpret_mode():
+        out = compute_columns_pallas(cfg, ndhi_b, sc, n // 2, lls_cb=lls_b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
 def test_pallas_partial_radius():
     n = 16
     cfg = make_config(mesh=n, dtype="float32", use_lls=False,
