@@ -29,6 +29,48 @@ def test_pallas_columns_match_xla(n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+def _march_case(n, max_shell, monkeypatch=None, ladder=None, seed=48):
+    cfg = make_config(mesh=n, dtype="float32", use_lls=False,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(0), jnp.float32(0))
+    rng = np.random.default_rng(seed)
+    ndhi_b = jnp.asarray(
+        (rng.uniform(0.2, 1.0, (2, n, n, n)) * 2e-4).astype(np.float32))
+    ref = jax.vmap(lambda x: compute_columns_facemajor(
+        cfg, x, sc, None, max_shell))(ndhi_b)
+    if ladder is not None:
+        from c2ray_tpu.ops import sweep_pallas
+        monkeypatch.setattr(sweep_pallas, "_march_ladder",
+                            lambda ms, nn: ladder)
+    with pltpu.force_tpu_interpret_mode():
+        out = compute_columns_pallas(cfg, ndhi_b, sc, max_shell)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_pallas_patch_march_matches_xla():
+    """A radius-capped sweep marches on a (2r+1)^2 patch (p=33 < n=48)
+    and must be bitwise-equal to the full-plane XLA march."""
+    _march_case(48, 13)
+
+
+def test_pallas_multishell_steps_match_xla(monkeypatch):
+    """k>1 shells per grid step (incl. the non-divisible 13 % 4 shell
+    padding) stays bitwise-equal."""
+    from c2ray_tpu.ops import sweep_pallas
+    monkeypatch.setattr(sweep_pallas, "MARCH_K_CAP", 4)
+    _march_case(48, 13, seed=13)
+
+
+def test_pallas_multi_bucket_ladder_matches_xla(monkeypatch):
+    """The multi-bucket ladder machinery (patch growth + seed carry
+    between pallas_calls) stays bitwise-equal to the single-bucket
+    march."""
+    _march_case(48, 24, monkeypatch,
+                ladder=[(1, 8, 17), (9, 16, 33), (17, 24, 48)])
+
+
 def test_pallas_grid_lls_columns_match_xla():
     """Type-2 LLS grid streamed into the kernel as a second VMEM input."""
     n = 16
