@@ -44,7 +44,11 @@ class TestCodec:
 
 def _run(cfg, steps=2, dt_frac=0.05):
     tabs = build_rad_tables(cfg)
-    solver = Evolve3D(cfg, tabs)
+    cool = None
+    if not cfg.isothermal:
+        from c2ray_tpu.ops.thermal import setup_cool
+        cool = setup_cool(cfg)
+    solver = Evolve3D(cfg, tabs, cool=cool)
     state = initial_state(cfg)
     n = cfg.mesh[0]
     ndens = jnp.full((n, n, n), NH, cfg.jnp_dtype)
@@ -95,3 +99,43 @@ class TestCompressedSolver:
         sd, infod = _run(make_config(**base))
         sc, infoc = _run(make_config(**base, compressed_xfrac=True))
         assert infoc.mean_xh1 == pytest.approx(infod.mean_xh1, rel=1e-4)
+
+    def test_nonisothermal_compressed_equals_dense(self):
+        """Photo-heating coupling runs identically under compressed
+        storage (the thermal path consumes decoded fractions)."""
+        base = dict(mesh=12, dtype="float64", use_lls=False,
+                    cosmological=False, isothermal=False,
+                    initial_temperature=100.0)
+        sd, infod = _run(make_config(**base))
+        sc, infoc = _run(make_config(**base, compressed_xfrac=True))
+        np.testing.assert_allclose(np.asarray(xh1_of(sc.xh1)),
+                                   np.asarray(sd.xh1),
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(sc.temper_current),
+                                   np.asarray(sd.temper_current),
+                                   rtol=1e-10)
+
+    def test_windowed_multisource_compressed_equals_dense(self):
+        """The windowed multi-source sweep decodes compressed xh_av the
+        same way the full-cube path does."""
+        from c2ray_tpu.cosmology import CosmoClock
+        base = dict(mesh=24, dtype="float64", use_lls=False,
+                    cosmological=False, window_sweep=True,
+                    adaptive_sweep=True, source_batch=4)
+        rng = np.random.default_rng(5)
+        src = np.asarray(rng.integers(0, 24, (6, 3)), np.int32)
+        nflux = 10.0 ** rng.uniform(7.5, 8.5, 6)
+        states = {}
+        for compressed in (False, True):
+            cfg = make_config(**base, compressed_xfrac=compressed)
+            tabs = build_rad_tables(cfg)
+            solver = Evolve3D(cfg, tabs)
+            state = initial_state(cfg)
+            ndens = jnp.full((24, 24, 24), NH, cfg.jnp_dtype)
+            dt = 0.05 / (const.BH00 * NH)
+            state, info = solver.evolve3d(state, ndens, 5.7e24 / 6, src,
+                                          nflux, dt)
+            states[compressed] = (np.asarray(xh1_of(state.xh1))
+                                  if compressed else np.asarray(state.xh1))
+        np.testing.assert_allclose(states[True], states[False],
+                                   rtol=1e-10, atol=1e-14)
