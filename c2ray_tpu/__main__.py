@@ -40,7 +40,8 @@ def main(argv=None):
 
     from .config import test_problem_config
     from .driver import C2RayDriver, DriverConfig, read_input_file
-    from .models.nbody import cubep3m_adapter, test_adapter
+    from .models.nbody import (cubep3m_adapter, gadget_adapter, lg_adapter,
+                               pmfast_adapter, test_adapter)
 
     cfg = test_problem_config(mesh=args.mesh, boxsize_mpc_h=args.boxsize,
                               dtype=args.dtype, isothermal=args.isothermal)
@@ -58,8 +59,20 @@ def main(argv=None):
                                   dc.redshift_file, id_str=args.id_str,
                                   dir_dens=args.dens_dir,
                                   dir_src=args.source_dir)
+    elif args.nbody == "LG":
+        adapter = lg_adapter(cfg, args.boxsize, args.n_box,
+                             dc.redshift_file,
+                             dir_dens=args.dens_dir,
+                             dir_src=args.source_dir)
+    elif args.nbody == "pmfast":
+        adapter = pmfast_adapter(cfg, args.boxsize, args.n_box,
+                                 dc.redshift_file,
+                                 dir_dens=args.dens_dir,
+                                 dir_src=args.source_dir)
     else:
-        raise SystemExit(f"nbody adapter {args.nbody!r} not wired to the CLI yet")
+        adapter = gadget_adapter(cfg, args.boxsize, dc.redshift_file,
+                                 dir_dens=args.dens_dir,
+                                 dir_src=args.source_dir)
 
     raytracer = None
     if args.shard_sources:
