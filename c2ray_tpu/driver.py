@@ -136,10 +136,19 @@ class C2RayDriver:
         from .utils.checkpoint import IterDumper
         self.dumper = IterDumper(dump_dir=self.dc.dump_dir)
         self.history = []
+        # rank-0 run log (the reference's results/C2Ray.log, unit logf=30,
+        # mpi.F90:93-151): every driver message is teed into it
+        try:
+            self._logf = open(os.path.join(self.dc.results_dir,
+                                           "C2Ray.log"), "a")
+        except OSError:
+            self._logf = None
 
     def _log(self, *msg):
         if self.verbose:
             print(*msg, flush=True)
+        if self._logf is not None:
+            print(*msg, file=self._logf, flush=True)
 
     def _x1(self, state) -> np.ndarray:
         """Dense ionized fraction (decodes compressed storage)."""
