@@ -70,9 +70,11 @@ def main(argv=None):
                                  dir_dens=args.dens_dir,
                                  dir_src=args.source_dir)
     else:
+        zr = ([dc.zred_initial] if dc.zred_initial >= 0
+              and not dc.redshift_file else None)
         adapter = gadget_adapter(cfg, args.boxsize, dc.redshift_file,
                                  dir_dens=args.dens_dir,
-                                 dir_src=args.source_dir)
+                                 dir_src=args.source_dir, zred_array=zr)
 
     raytracer = None
     if args.shard_sources:

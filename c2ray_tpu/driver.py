@@ -56,6 +56,9 @@ class DriverConfig:
     iter_restart: int = 0
     # mid-slice restart redshift (restart=2; C2Ray.F90:238-253)
     zred_interm: float = -1.0
+    # gadget runs: single initial redshift instead of a redshift file
+    # (nbody_gadget.F90:204-227)
+    zred_initial: float = -1.0
 
 
 def read_input_file(path: str, nbody_type: str = "test") -> DriverConfig:
@@ -78,8 +81,14 @@ def read_input_file(path: str, nbody_type: str = "test") -> DriverConfig:
     mid_yn = next(it).lower().startswith("y")
     dc.restart = (2 if mid_yn else 1) if restart_yn else 0
     dc.nz0 = int(next(it)) - 1
-    if nbody_type in ("cubep3m", "LG"):
+    # redshift-list answer: cubep3m/LG/pmfast read a file of redshifts
+    # (nbody_cubep3m.F90:226-261, nbody_pmfast.F90:212-247); gadget reads
+    # ONE initial redshift (nbody_gadget.F90:204-227); the test adapter
+    # hard-codes its list (nbody_test.F90:212-251)
+    if nbody_type in ("cubep3m", "LG", "pmfast"):
         dc.redshift_file = next(it)
+    elif nbody_type == "gadget":
+        dc.zred_initial = float(next(it))
     dc.uv_recipe = int(next(it))
     if dc.uv_recipe in (1, 2):
         dc.uv_file = next(it)

@@ -223,13 +223,22 @@ def pmfast_adapter(cfg: RunConfig, boxsize: float, n_box: int,
 
 
 def gadget_adapter(cfg: RunConfig, boxsize: float,
-                   redshift_file: str, dir_dens: str = "",
+                   redshift_file: str = "", dir_dens: str = "",
                    dir_src: str = "",
-                   density_unit: str = "mass_density") -> NbodyAdapter:
-    """GADGET simulation adapter (nbody_gadget.F90)."""
-    with open(redshift_file) as f:
-        n = int(f.readline().split()[0])
-        zreds = np.array([float(f.readline().split()[0]) for _ in range(n)])
+                   density_unit: str = "mass_density",
+                   zred_array=None) -> NbodyAdapter:
+    """GADGET simulation adapter (nbody_gadget.F90).
+
+    The reference's input protocol gives ONE initial redshift
+    (nbody_gadget.F90:204-227); pass it as zred_array=[z, ...].  A
+    redshift file (count + one z per line) is also accepted for
+    multi-snapshot runs.
+    """
+    if zred_array is None:
+        with open(redshift_file) as f:
+            n = int(f.readline().split()[0])
+            zred_array = [float(f.readline().split()[0]) for _ in range(n)]
+    zreds = np.asarray(zred_array, np.float64)
     return NbodyAdapter(cfg=cfg, nbody_type="gadget", boxsize=boxsize,
                         id_str="gadget", dir_dens=dir_dens, dir_src=dir_src,
                         density_unit=density_unit, zred_array=zreds)

@@ -27,6 +27,14 @@ def test_input_file_protocol(tmp_path):
     assert dc2.restart == 1 and dc2.nz0 == 2
     assert dc2.redshift_file == "redshifts.dat"
     assert dc2.uv_recipe == 0
+    # pmfast also reads a redshift file (nbody_pmfast.F90:212-247)
+    dc3 = read_input_file(str(p2), nbody_type="pmfast")
+    assert dc3.redshift_file == "redshifts.dat"
+    # gadget reads ONE initial redshift (nbody_gadget.F90:204-227)
+    p3 = tmp_path / "input3"
+    p3.write_text("n\nn\n1\n8.5\n7\n4\n2\n")
+    dc4 = read_input_file(str(p3), nbody_type="gadget")
+    assert dc4.zred_initial == 8.5 and dc4.uv_recipe == 7
 
 
 def test_driver_test_problem(tmp_path):
