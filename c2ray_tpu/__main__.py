@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--dens-dir", default="")
     ap.add_argument("--id-str", default="coarsest")
     ap.add_argument("--max-slices", type=int, default=None)
+    ap.add_argument("--redshift-file", default=None,
+                    help="override the input file's redshift list "
+                         "(required for multi-snapshot gadget runs)")
     ap.add_argument("--shard-sources", action="store_true",
                     help="shard sources over all local devices")
     args = ap.parse_args(argv)
@@ -51,6 +54,8 @@ def main(argv=None):
     else:
         dc = DriverConfig()
     dc.results_dir = args.results_dir
+    if args.redshift_file:
+        dc.redshift_file = args.redshift_file
 
     if args.nbody == "test":
         adapter = test_adapter(cfg, source_dir=args.source_dir)

@@ -218,6 +218,13 @@ class C2RayDriver:
         n_slices = len(zreds) - 1
         if max_slices is not None:
             n_slices = min(n_slices, nz0 + max_slices)
+        if n_slices <= nz0:
+            # a single-redshift list cannot evolve (the slice loop needs
+            # z_next; the reference's do nz=nz0,NumZred-1 is equally
+            # degenerate at NumZred=1) - say so instead of silently
+            # returning the initial state
+            self._log(f"WARNING: {len(zreds)} redshift(s) from slice "
+                      f"{nz0}: nothing to evolve (need z_next per slice)")
 
         for nz in range(nz0, n_slices):
             zred = float(zreds[nz])
@@ -290,9 +297,16 @@ class C2RayDriver:
                 else:
                     clump_grid_slice = ad.read_clumping_grid(zred)
             lls_grid_slice = self.material.lls_grid
-            if (cfg.use_lls and cfg.type_of_lls == 2
-                    and lls_grid_slice is None):
-                lls_grid_slice = ad.read_lls_grid(zred)
+            lls_slice = None
+            if cfg.use_lls and cfg.type_of_lls == 2:
+                if lls_grid_slice is None:
+                    lls_grid_slice = ad.read_lls_grid(zred)
+                # type-2 LLS columns are converted ONCE per slice at the
+                # slice redshift (C2Ray.F90:313; the timestep loop at
+                # :376 explicitly skips set_LLS for type 2)
+                zp1_slice = (1.0 + zred) if cfg.cosmological else 1.0
+                lls_slice = set_lls(cfg, zred, cfg.dr_comoving / zp1_slice,
+                                    lls_grid_slice)
 
             # inner timestep loop (C2Ray.F90:352-407)
             while sim_time < end_time - 1e-6 * abs(dt):
@@ -317,7 +331,8 @@ class C2RayDriver:
                     grid_file_reader=((lambda _z: clump_grid_slice)
                                       if clump_grid_slice is not None
                                       else None))
-                lls = set_lls(cfg, z_now, dr_proper, lls_grid_slice)
+                lls = (lls_slice if lls_slice is not None
+                       else set_lls(cfg, z_now, dr_proper, lls_grid_slice))
                 cosmo_cool_coeff = 0.0
                 if cfg.cosmological and not cfg.isothermal:
                     p = cfg.cosmo

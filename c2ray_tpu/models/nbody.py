@@ -80,8 +80,15 @@ class NbodyAdapter:
 
     def source_filename(self, redshift: float, nz: int,
                         suffix: str = "_sources.dat") -> str:
-        """construct_sourcefilename (sourceprops.F90:213-255)."""
-        if self.nbody_type == "cubep3m":
+        """construct_sourcefilename (sourceprops.F90:213-255).
+
+        The reference's select-case covers cubep3m/LG/test only and
+        leaves pmfast/gadget UNDEFINED (a latent bug there); here they
+        get the redshift-stamped cubep3m convention so the adapters are
+        actually usable - falling through to test_sources.dat would
+        silently read the wrong catalog every slice.
+        """
+        if self.nbody_type in ("cubep3m", "pmfast", "gadget"):
             return os.path.join(
                 self.dir_src, f"{fortran_f6_3(redshift)}-{self.id_str}{suffix}")
         if self.nbody_type == "LG":

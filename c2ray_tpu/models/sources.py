@@ -271,7 +271,16 @@ def write_suppressed_source_list(path: str, cat: SourceCatalog) -> None:
         f.write(f" {cat.num_src}\n")
         for i in range(cat.num_src):
             x, y, z = (int(v) + 1 for v in cat.srcpos[i])
-            f.write(f"{x:4d}{y:4d}{z:4d}{cat.normflux_stellar[i]:15.5f}\n")
+            flux = float(cat.normflux_stellar[i])
+            if max(x, y, z) <= 999 and flux < 1e8:
+                # byte-identical to the reference's '(3i4,f15.5)'
+                f.write(f"{x:4d}{y:4d}{z:4d}{flux:15.5f}\n")
+            else:
+                # out of the Fortran edit descriptor's range (mesh >=
+                # 1000 or flux >= 1e8 would MERGE fields and break the
+                # read-back - a latent reference bug): emit explicit
+                # separators instead
+                f.write(f"{x} {y} {z} {flux:.5f}\n")
 
 
 def read_suppressed_source_list(path: str) -> SourceCatalog:

@@ -295,8 +295,10 @@ def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
 
         shard = P(axis_name)       # slab along grid axis 0
         rep = P()
-        grid_or_scalar = shard if hasattr(clumping, "ndim") and \
-            getattr(clumping, "ndim", 0) == 3 else rep
+
+        def grid_or_scalar(x):
+            return shard if getattr(x, "ndim", 0) == 3 else rep
+
         from ..ops.chemistry import ChemistryResult
 
         fn = jax.shard_map(
@@ -305,7 +307,10 @@ def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
                       shard if phiheat is not None else rep,
                       shard if temper_current is not None else rep,
                       shard if temper_av is not None else rep,
-                      grid_or_scalar, rep, rep),
+                      grid_or_scalar(clumping), rep,
+                      # add_photon_losses passes a full (N,N,N) rate grid
+                      # (solver._lossrate); scalars stay replicated
+                      grid_or_scalar(photon_loss_rate)),
             out_specs=ChemistryResult(shard, shard, shard, shard, rep, rep),
             check_vma=False)
         return fn(dt, ndens, xh1_old, xh1_intermed, xh1_av, phih,

@@ -264,6 +264,13 @@ class Evolve3D:
             xh_av = jnp.asarray(iter_restart["xh_av"], dtype)
             xh_int = jnp.asarray(iter_restart["xh_intermed"], dtype)
             niter = int(iter_restart["niter"])
+            # non-isothermal dumps also carry the mid-convergence
+            # temperature iterates (start_from_dump restores the
+            # temperature grid too, evolve.F90:328-426)
+            if not cfg.isothermal and "temper" in iter_restart:
+                t_int = jnp.asarray(iter_restart["temper"], dtype)
+            if not cfg.isothermal and "temper_av" in iter_restart:
+                t_av = jnp.asarray(iter_restart["temper_av"], dtype)
         else:
             xh_av = xh1
             xh_int = xh1
@@ -357,7 +364,8 @@ class Evolve3D:
             if dumper is not None:
                 dumper.maybe_dump(niter, photon_loss, phih, xh_av, xh_int,
                                   phiheat if not cfg.isothermal else None,
-                                  t_int if not cfg.isothermal else None)
+                                  t_int if not cfg.isothermal else None,
+                                  t_av if not cfg.isothermal else None)
 
             # per-iteration conservation report (global_pass :570-571)
             if stats is not None:

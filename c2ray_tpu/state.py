@@ -55,10 +55,15 @@ def compress_xh(xh1: jax.Array, xh0: Optional[jax.Array] = None) -> jax.Array:
 
     Pass the natively-computed neutral fraction xh0 when available (the
     chemistry does) so the x_HI tail never routes through 1 - x_HII.
+
+    A fully saturated cell (x_HI == 0) must NOT encode as -0.0: IEEE
+    -0.0 >= 0 is true, so the decoders would read it as fully NEUTRAL.
+    It is stored as +1.0 instead, which decodes exactly (x1=1, x0=0).
     """
     if xh0 is None:
         xh0 = 1.0 - xh1
-    return jnp.where(xh1 <= 0.5, xh1, -xh0)
+    return jnp.where(xh1 <= 0.5, xh1,
+                     jnp.where(xh0 > 0.0, -xh0, jnp.ones_like(xh1)))
 
 
 def xh1_of(xc: jax.Array) -> jax.Array:

@@ -42,9 +42,11 @@ def load_slice_restart(cfg: RunConfig, results_dir: str,
     xh1 = read_sm3d(os.path.join(results_dir, f"xfrac3D_{zs}.bin"),
                     np.float64, expect_mesh=cfg.mesh)
     if cfg.compressed_xfrac:
-        # encode BEFORE the f32 cast so the x_HI tail survives
-        from ..state import compress_xh
-        xh1 = np.asarray(compress_xh(jnp.asarray(xh1)))
+        # encode in numpy float64 BEFORE any cast so the x_HI tail
+        # survives (jnp.asarray would round the f64 cube to f32 first);
+        # saturated cells store +1.0, not -0.0 (see state.compress_xh)
+        xh1 = np.where(xh1 <= 0.5, xh1,
+                       np.where(xh1 < 1.0, -(1.0 - xh1), 1.0))
     xh1 = jnp.asarray(xh1.astype(cfg.np_dtype))
     if cfg.isothermal:
         return GridState(xh1=xh1)
@@ -65,17 +67,18 @@ class IterDumper:
     _last_wall: float = field(default_factory=time.time)
 
     def maybe_dump(self, niter: int, photon_loss: float, phih, xh_av,
-                   xh_intermed, phiheat=None, temper=None) -> Optional[str]:
+                   xh_intermed, phiheat=None, temper=None,
+                   temper_av=None) -> Optional[str]:
         """Dump if >15 wall-clock minutes since the last one."""
         now = time.time()
         if now - self._last_wall < self.interval_s:
             return None
         self._last_wall = now
         return self.dump(niter, photon_loss, phih, xh_av, xh_intermed,
-                         phiheat, temper)
+                         phiheat, temper, temper_av)
 
     def dump(self, niter, photon_loss, phih, xh_av, xh_intermed,
-             phiheat=None, temper=None) -> str:
+             phiheat=None, temper=None, temper_av=None) -> str:
         self._ndump += 1
         name = "iterdump2.npz" if self._ndump % 2 == 0 else "iterdump1.npz"
         path = os.path.join(self.dump_dir, name)
@@ -86,6 +89,8 @@ class IterDumper:
             data["phiheat"] = np.asarray(phiheat)
         if temper is not None:
             data["temper"] = np.asarray(temper)
+        if temper_av is not None:
+            data["temper_av"] = np.asarray(temper_av)
         tmp = path + ".tmp.npz"   # .npz suffix keeps np.savez from renaming
         np.savez(tmp, **data)
         os.replace(tmp, path)

@@ -17,11 +17,13 @@ N = 16
 ZREDS = [9.0, 8.9, 8.8]
 
 
-def _source_file(tmp_path):
-    # pmfast/gadget/LG reuse the test-style source naming fallback; the
-    # reference's construct_sourcefilename has no case for them either
-    # (sourceprops.F90:213-255 falls through)
-    (tmp_path / "test_sources.dat").write_text("1\n8 8 8 50.0 0.0\n")
+def _source_file(tmp_path, id_str, line="1\n8 8 8 50.0 0.0\n"):
+    # pmfast/gadget use the redshift-stamped cubep3m source-name
+    # convention here (the reference's construct_sourcefilename leaves
+    # them undefined, sourceprops.F90:213-255 - a latent bug there)
+    for z in ZREDS:
+        (tmp_path / f"{fortran_f6_3(z)}-{id_str}_sources.dat"
+         ).write_text(line)
 
 
 def _run(cfg, ad, tmp_path, uv_recipe=0):
@@ -76,7 +78,7 @@ def test_pmfast_adapter_end_to_end(tmp_path):
     cfg = make_config(mesh=N, dtype="float64", use_lls=False)
     zfile = tmp_path / "redshifts.dat"
     zfile.write_text(f"{len(ZREDS)}\n" + "".join(f"{z}\n" for z in ZREDS))
-    _source_file(tmp_path)
+    _source_file(tmp_path, "coarse")
     rng = np.random.default_rng(1)
     for z in ZREDS:
         dens = rng.lognormal(0.0, 0.2, (N, N, N)).astype(np.float32)
@@ -102,7 +104,7 @@ def test_gadget_adapter_end_to_end(tmp_path):
     zfile.write_text(f"{len(ZREDS)}\n" + "".join(f"{z}\n" for z in ZREDS))
     # gadget has no grid-mass bookkeeping (n_box unset) -> use the raw
     # photon-rate Test recipe
-    (tmp_path / "test_sources.dat").write_text("1\n8 8 8 1e57 0.0\n")
+    _source_file(tmp_path, "gadget", line="1\n8 8 8 1e57 0.0\n")
     rng = np.random.default_rng(2)
     rho_b0 = cfg.cosmo.rho_crit_0 * cfg.cosmo.omega_b   # comoving g/cm^3
     for z in ZREDS:

@@ -41,6 +41,36 @@ class TestCodec:
         assert float(xc[0]) == pytest.approx(0.2)
         assert float(xc[1]) == pytest.approx(-0.2)
 
+    def test_saturated_cell_does_not_invert(self):
+        """x_HI == 0 must NOT encode as -0.0 (IEEE -0.0 >= 0 would decode
+        a fully IONIZED cell as fully NEUTRAL)."""
+        xc = compress_xh(jnp.asarray([1.0, 0.5, 2e-4], jnp.float32))
+        assert float(xh1_of(xc)[0]) == 1.0
+        assert float(xh0_of(xc)[0]) == 0.0
+        # explicit-xh0 form too (the chemistry path)
+        xc2 = compress_xh(jnp.asarray([1.0]), jnp.asarray([0.0]))
+        assert float(xh1_of(xc2)[0]) == 1.0
+
+    def test_restart_encode_keeps_f64_tail(self, tmp_path):
+        """load_slice_restart must encode the f64 cube BEFORE the f32
+        cast, so the neutral tail survives (and saturated cells do not
+        invert)."""
+        from c2ray_tpu.config import test_problem_config
+        from c2ray_tpu.utils.checkpoint import load_slice_restart
+        from c2ray_tpu.utils.io_fortran import write_sm3d
+        from c2ray_tpu.models.nbody import fortran_f6_3
+        cfg = test_problem_config(mesh=4, dtype="float32", use_lls=False,
+                                  compressed_xfrac=True)
+        cube = np.full((4, 4, 4), 2e-4)
+        cube[0, 0, 0] = 1.0 - 1e-10       # f32-saturating ionized cell
+        cube[1, 1, 1] = 1.0               # exactly saturated
+        zs = fortran_f6_3(8.5)
+        write_sm3d(str(tmp_path / f"xfrac3D_{zs}.bin"), cube)
+        state = load_slice_restart(cfg, str(tmp_path) + "/", 8.5)
+        x0 = np.asarray(xh0_of(state.xh1), np.float64)
+        assert x0[0, 0, 0] == pytest.approx(1e-10, rel=1e-6)
+        assert float(xh1_of(state.xh1)[1, 1, 1]) == 1.0
+
 
 def _run(cfg, steps=2, dt_frac=0.05):
     tabs = build_rad_tables(cfg)

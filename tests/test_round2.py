@@ -210,6 +210,21 @@ class TestDriverPlumbing:
         np.testing.assert_allclose(back.normflux_stellar,
                                    cat.normflux_stellar, atol=1e-5)
 
+    def test_suppressed_list_wide_fields_roundtrip(self, tmp_path):
+        """Coordinates >= 1000 or fluxes >= 1e8 overflow the reference's
+        '(3i4,f15.5)' fields and would merge; the writer must keep the
+        read-back parseable (the Fortran original corrupts here)."""
+        cat = SourceCatalog(
+            srcpos=np.array([[1199, 7, 1023], [3, 3, 3]], np.int32),
+            normflux_stellar=np.array([3.5e9, 0.75]),
+            normflux_xray=np.zeros(2))
+        p = str(tmp_path / "z_sources_used_wfgamma.dat")
+        write_suppressed_source_list(p, cat)
+        back = read_suppressed_source_list(p)
+        np.testing.assert_array_equal(back.srcpos, cat.srcpos)
+        np.testing.assert_allclose(back.normflux_stellar,
+                                   cat.normflux_stellar, rtol=1e-9)
+
     def test_fixed_ndot_gamma_driver(self, tmp_path):
         """UV recipe 2 through the driver: the uv_file budget sets the
         total ionizing flux (sourceprops.F90:613-624,694-755)."""
