@@ -12,8 +12,9 @@ Shares the exact plane-update math with the XLA backend
 construction; a CPU-interpret-mode test asserts it.
 
 Handles both scalar LLS models and the type-2 LLS grid (staged face-major
-and streamed as a second VMEM input).  Mesh cap: the validated 512^3
-envelope (pallas_sweep_available).
+and streamed as a second VMEM input).  Mesh cap: the validated 600^3
+envelope (pallas_sweep_available) - the reference's production mesh
+options run to 600^3 on one chip (sizes.f90:30-71).
 
 STATUS: production on TPU (bench.py --backend auto selects it).  The
 round-1 miscompare was root-caused to XLA:TPU host-side bugs, not the
@@ -61,10 +62,9 @@ def _kernel(params_ref, seed_ref, ndhi_ref, *rest, cfg: RunConfig, n: int,
         prev_ref[...] = seed_ref[0]
 
     dr = params_ref[bi, 0]
-    # k shells march per grid step: the per-step cost on this stack is
-    # dominated by fixed invocation/pipeline latency (~30 us at 256^3,
-    # ~4x the VPU work), so amortizing it over k plane updates is the
-    # decisive lever (measured: k=8 cuts the 256^3 march ~2x)
+    # k shells per grid step (see MARCH_K_CAP: measured neutral on this
+    # stack - the march is DMA/VPU work-bound - but kept for stacks
+    # where per-step latency dominates)
     prev = prev_ref[...]
     for j in range(k):
         d = d_idx * k + j + d_lo       # shell number
@@ -227,10 +227,10 @@ def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:
     # resident stacks: prev scratch + ~2x in + ~2x out pipeline buffers,
     # plus ~2x in for the staged LLS faces when a type-2 grid is swept
     stacks = 5 + (2 if lls_c is not None else 0)
-    # v5e VMEM is 128 MiB (vmem_limit_bytes 120 MiB); the 512^3 mesh needs
-    # ~31 MiB of plane stacks + fixup intermediates without LLS, ~44 MiB
-    # with (both validated on hardware round 2); cap the mesh at the
-    # validated 512^3 envelope
+    # v5e VMEM is 128 MiB (vmem_limit_bytes 120 MiB); plane stacks +
+    # fixup intermediates need ~31 MiB at 512^3 / ~43 MiB at 600^3
+    # without LLS (hardware-validated bitwise round 2, incl. grid LLS
+    # at 512^3); cap the mesh at the validated 600^3 envelope
     return (cfg.sweep_backend == "pallas"
             and plane_stack * stacks < 62 * 1024 * 1024
-            and n <= 560)
+            and n <= 600)
