@@ -120,6 +120,36 @@ def test_sharded_chemistry_in_solver():
                                rtol=1e-12)
 
 
+def test_sharded_chemistry_add_photon_losses():
+    """add_photon_losses passes a full (N,N,N) rate grid into the
+    chemistry; the sharded variant must slab-shard it like the other
+    grids (regression: it had a replicated in_spec -> shape error)."""
+    from c2ray_tpu.parallel.domain import sharded_chemistry
+    n = 16
+    # radius-capped strong source: photons escape the r=4 sweep boundary
+    # and feed the redistribution grid (as in test_round2's coverage)
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False, add_photon_losses=True,
+                      max_shell=4)
+    tabs = build_rad_tables(cfg)
+    srcpos = np.array([[8, 8, 8]], np.int32)
+    nflux = np.array([1e57]) / 1e48
+    ndens = jnp.full((n, n, n), 1.98e-4)
+    mesh = make_device_mesh(8)
+    results = {}
+    for key, kw in [("serial", {}),
+                    ("domain", dict(raytracer=sharded_raytracer(mesh),
+                                    chemistry=sharded_chemistry(mesh)))]:
+        solver = Evolve3D(cfg, tabs, **kw)
+        state = initial_state(cfg)
+        state, info = solver.evolve3d(state, ndens, 5.7e24 / 8, srcpos,
+                                      nflux, 3.1e14)
+        results[key] = np.asarray(state.xh1)
+        assert info.photon_loss > 0.0      # the loss grid path is active
+    np.testing.assert_allclose(results["domain"], results["serial"],
+                               rtol=1e-12)
+
+
 # --------------------------------------------------------------------------
 # Domain decomposition (parallel phase 2): grid-slab-sharded rate physics
 # --------------------------------------------------------------------------
