@@ -137,12 +137,26 @@ class Evolve3D:
 
     def _initial_radii(self, nflux_np, ndens_mean, dr, dt):
         """Strömgren-style initial radius estimate per source, snapped up
-        to the ladder (replaces the first subbox growth passes)."""
+        to the ladder (replaces the first subbox growth passes).
+
+        In the many-source regime the isolated-Strömgren estimate
+        over-reaches: bubbles merge, so each source's effective reach is
+        bounded by the inter-source spacing.  The initial assignment is
+        capped at ~the mean half-separation; genuinely leaky sources are
+        promoted by the escaping-photon test within the convergence loop
+        (exactly the reference's subbox growth criterion,
+        evolve_source.F90:128-136), so the cap costs correctness nothing
+        while keeping dense catalogs on cheap windowed sweeps."""
         cfg = self.cfg
+        n = cfg.mesh[0]
         ladder = self._radius_ladder()
         s_phys = np.maximum(nflux_np, 1e-300) * cfg.sed.s_star
         r_est = (3.0 * s_phys * dt / (4.0 * np.pi * ndens_mean)) ** (1.0 / 3.0)
         cells = 1.3 * r_est / dr
+        num_src = max(1, len(nflux_np))
+        spacing_cap = 0.75 * n / num_src ** (1.0 / 3.0)
+        cells = np.minimum(cells, max(spacing_cap,
+                                      float(cfg.adaptive_min_shell)))
         assign = np.searchsorted(np.asarray(ladder), cells)
         return np.minimum(assign, len(ladder) - 1).astype(np.int64)
 
