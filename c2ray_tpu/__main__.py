@@ -39,15 +39,54 @@ def main(argv=None):
                          "(required for multi-snapshot gadget runs)")
     ap.add_argument("--shard-sources", action="store_true",
                     help="shard sources over all local devices")
+    # physics model selection (the reference's compile-time knobs in
+    # c2ray_parameters.f90:69-99, all runtime here)
+    ap.add_argument("--type-of-clumping", type=int, default=1,
+                    choices=[1, 2, 3, 4, 5],
+                    help="sub-grid clumping model (clumping_module.F90)")
+    ap.add_argument("--clumping-factor", type=float, default=1.0,
+                    help="constant clumping factor (type 1)")
+    ap.add_argument("--clump-dir", default="../",
+                    help="directory with paramsGCM/DCM/SCM_<res>Mpc.dat "
+                         "(types 2-4) or <z>_scat.dat cubes (type 5)")
+    ap.add_argument("--type-of-lls", type=int, default=0,
+                    choices=[0, 1, 2, 3],
+                    help="LLS mechanism; 0 disables LLS (LLS.F90:101-146)")
+    ap.add_argument("--lls-model", type=int, default=5,
+                    help="mean-free-path model index for type-1 LLS")
+    ap.add_argument("--lls-dir", default="",
+                    help="directory with <z>cross_section_normalized.bin "
+                         "cubes (type-2 LLS)")
+    ap.add_argument("--cosmology", default="WMAP3+",
+                    choices=["WMAP3+", "WMAP1", "WMAP3", "WMAP5", "EoRKP"],
+                    help="cosmological parameter set (cosmoparms*.f90)")
+    ap.add_argument("--compressed-xfrac", action="store_true",
+                    help="signed min-fraction ionization storage (the "
+                         "reference's compressed/ variant)")
+    ap.add_argument("--rate-eval", default="auto",
+                    choices=["auto", "table", "expsum"],
+                    help="photoionization-rate evaluation path")
+    ap.add_argument("--sweep-backend", default="facemajor",
+                    choices=["facemajor", "grid", "pallas"],
+                    help="wavefront sweep backend")
     args = ap.parse_args(argv)
 
-    from .config import test_problem_config
+    from .config import COSMOLOGY_SETS, test_problem_config
     from .driver import C2RayDriver, DriverConfig, read_input_file
     from .models.nbody import (cubep3m_adapter, gadget_adapter, lg_adapter,
                                pmfast_adapter, test_adapter)
 
     cfg = test_problem_config(mesh=args.mesh, boxsize_mpc_h=args.boxsize,
-                              dtype=args.dtype, isothermal=args.isothermal)
+                              dtype=args.dtype, isothermal=args.isothermal,
+                              type_of_clumping=args.type_of_clumping,
+                              clumping_factor=args.clumping_factor,
+                              use_lls=args.type_of_lls > 0,
+                              type_of_lls=max(args.type_of_lls, 1),
+                              lls_model=args.lls_model,
+                              cosmo=COSMOLOGY_SETS[args.cosmology],
+                              compressed_xfrac=args.compressed_xfrac,
+                              rate_eval=args.rate_eval,
+                              sweep_backend=args.sweep_backend)
 
     if args.input_file:
         dc = read_input_file(args.input_file, args.nbody)
@@ -80,6 +119,9 @@ def main(argv=None):
         adapter = gadget_adapter(cfg, args.boxsize, dc.redshift_file,
                                  dir_dens=args.dens_dir,
                                  dir_src=args.source_dir, zred_array=zr)
+
+    adapter.dir_clump = args.clump_dir
+    adapter.dir_lls = args.lls_dir
 
     raytracer = None
     if args.shard_sources:

@@ -137,7 +137,16 @@ class C2RayDriver:
             from .models.sources import read_uv_file
             self.source_model.uv_array = read_uv_file(self.dc.uv_file,
                                                       self.dc.uv_recipe)
-        self.clumping_model = ClumpingModel(cfg=cfg)
+        # load the sub-grid clumping parameter files at startup, passing
+        # the grid resolution (C2Ray.F90:264 load_clumping_model(dr(1));
+        # the file names carry the resolution in Mpc at f5.3,
+        # clumping_module.F90:122-223).  Types 1/5 need no parameters.
+        if cfg.type_of_clumping in (2, 3, 4):
+            self.clumping_model = load_clumping_model(
+                cfg, resolution_mpc=cfg.dr_comoving / const.MPC,
+                params_dir=self.adapter.dir_clump.rstrip("/") or None)
+        else:
+            self.clumping_model = ClumpingModel(cfg=cfg)
         self.material = material
         self.clock = CosmoClock.init(cfg.cosmo,
                                      float(self.adapter.zred_array[0]))
@@ -369,6 +378,14 @@ class C2RayDriver:
                           f"photcons={info.photon_stats.get('photon_cons', 0):.4f}")
 
                 # output cadence (C2Ray.F90:389-403)
+                # per-step memory report into the run log (the reference
+                # calls report_memory every timestep into logf,
+                # C2Ray.F90:354, report_memory.f90:52)
+                if self._logf is not None:
+                    from .utils.report_memory import format_memory_report
+                    print(f"  memory: {format_memory_report()}",
+                          file=self._logf, flush=True)
+
                 if abs(sim_time - next_output_time) <= 1e-6 * abs(actual_dt):
                     next_output_time += output_dt
                     flag = self._write_outputs(zred_next if abs(

@@ -30,15 +30,28 @@ class GridCounts(NamedTuple):
 
 
 def grid_counts(cfg: RunConfig, ndens, xh1, temper_av=None,
-                clumping: Union[float, jax.Array] = 1.0) -> GridCounts:
+                clumping: Union[float, jax.Array] = 1.0,
+                compressed: bool = False) -> GridCounts:
     """Neutral/ionized atom counts and total recombination/collision rates.
 
     Reference: photonstatistics.F90:104-185 (state_before/after,
     total_rates).  The rate formulas intentionally match doric's
     (photonstatistics.F90:150-151 comment).
+
+    compressed: `xh1` is in the signed compressed min-fraction form
+    (state.compress_xh); both sides are decoded natively so the neutral
+    tail inside ionized regions keeps its full stored precision in the
+    recombination audit - the analogue of the reference's compressed
+    photonstatistics variant summing both fractions from storage
+    (/root/reference/compressed/photonstatistics.F90).
     """
-    x1 = xh1
-    x0 = 1.0 - xh1
+    if compressed:
+        from ..state import xh0_of, xh1_of
+        x1 = xh1_of(xh1)
+        x0 = xh0_of(xh1)
+    else:
+        x1 = xh1
+        x0 = 1.0 - xh1
     h0 = jnp.sum(ndens * x0)
     h1 = jnp.sum(ndens * x1)
     if temper_av is None:

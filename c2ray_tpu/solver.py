@@ -93,7 +93,11 @@ class Evolve3D:
 
         @jax.jit
         def _counts(ndens, xh1, t_av, clumping):
-            return grid_counts(cfg, ndens, _dense_x1(xh1), t_av, clumping)
+            # compressed inputs are decoded natively inside grid_counts so
+            # the photon audit keeps the stored neutral tail (the
+            # reference's compressed photonstatistics variant)
+            return grid_counts(cfg, ndens, xh1, t_av, clumping,
+                               compressed=cfg.compressed_xfrac)
 
         @jax.jit
         def _lossrate(ndens, xh_av1, sc, loss_per_cell):
@@ -155,8 +159,18 @@ class Evolve3D:
         cells = 1.3 * r_est / dr
         num_src = max(1, len(nflux_np))
         spacing_cap = 0.75 * n / num_src ** (1.0 / 3.0)
-        cells = np.minimum(cells, max(spacing_cap,
-                                      float(cfg.adaptive_min_shell)))
+        capped = np.minimum(cells, max(spacing_cap,
+                                       float(cfg.adaptive_min_shell)))
+        # top-decile-flux sources are exempt from the spacing cap: in a
+        # clustered catalog the cap assumes uniform spread and would start
+        # a bright clumped source under-radiused, paying promotion
+        # iterations to recover (evolve_source.F90:128-136 grows per
+        # source, never capping by neighbor spacing)
+        if num_src > 1:
+            exempt = nflux_np >= np.quantile(nflux_np, 0.9)
+            cells = np.where(exempt, cells, capped)
+        else:
+            cells = capped
         assign = np.searchsorted(np.asarray(ladder), cells)
         return np.minimum(assign, len(ladder) - 1).astype(np.int64)
 
@@ -293,6 +307,14 @@ class Evolve3D:
         prev_sum1 = 2.0 * n_cells
         prev_sum0 = 2.0 * n_cells
 
+        def _loss_rate(loss):
+            # redistributed boundary losses (add_photon_losses,
+            # evolve.F90:519-525 + evolve_point.F90:497-506)
+            if cfg.add_photon_losses and loss > 0.0:
+                return self._lossrate(ndens_proper, xh_av, sc,
+                                      jnp.asarray(loss / n_cells, dtype))
+            return jnp.zeros((), dtype)
+
         # conv_criterion (evolve.F90:162-163)
         conv_criterion = min(int(cfg.convergence_fraction * n_cells),
                              (num_src - 1) // 3)
@@ -304,6 +326,33 @@ class Evolve3D:
         last_report = {}
         phih = None
         phiheat = None
+
+        # Pending global pass on resume: the dump is written after the
+        # source sweep but *before* the chemistry pass (evolve.F90:253-269),
+        # so start_from_dump restores the rate grids and photon loss and
+        # runs the restored chemistry directly, with no redundant re-sweep
+        # (evolve.F90:154-158 calls global_pass right after the restore).
+        if iter_restart is not None and "phih" in iter_restart:
+            phih = jnp.asarray(iter_restart["phih"], dtype)
+            if not cfg.isothermal and "phiheat" in iter_restart:
+                phiheat = jnp.asarray(iter_restart["phiheat"], dtype)
+            photon_loss = float(iter_restart["photon_loss"])
+            chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
+                              xh_int, xh_av, phih,
+                              phiheat if not cfg.isothermal else None,
+                              t_cur, t_av, clump,
+                              jnp.asarray(cosmo_cool_coeff, dtype),
+                              _loss_rate(photon_loss))
+            xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
+            if not cfg.isothermal:
+                t_int, t_av = chem.temper_intermed, chem.temper_av
+            conv_flag = int(chem.conv_flag)
+            if stats is not None:
+                ca = self._counts(ndens_proper, xh_int, t_av, clump)
+                cr = self._counts(ndens_proper, xh_av, t_av, clump)
+                stats.calculate(ca, cr, vol, dt)
+                last_report = stats.report(dt, photon_loss, lls_loss,
+                                           float(np.sum(np.asarray(nflux))))
 
         while True:
             # convergence tests (evolve.F90:179-233)
@@ -354,32 +403,27 @@ class Evolve3D:
                 lls_loss = float(llsl)
                 per_src_loss = np.asarray(psrc)
 
-            # redistributed boundary losses (add_photon_losses,
-            # evolve.F90:519-525 + evolve_point.F90:497-506)
-            if cfg.add_photon_losses and photon_loss > 0.0:
-                plr = self._lossrate(ndens_proper, xh_av, sc,
-                                     jnp.asarray(photon_loss / n_cells,
-                                                 dtype))
-            else:
-                plr = jnp.zeros((), dtype)
+            # wall-clock-driven double-buffered dump: written after the
+            # sweep, BEFORE the chemistry pass (evolve.F90:253-266), so a
+            # resume re-enters at the pending global pass with these rate
+            # grids and pre-chemistry iterates
+            if dumper is not None:
+                dumper.maybe_dump(niter, photon_loss, phih, xh_av, xh_int,
+                                  phiheat if not cfg.isothermal else None,
+                                  t_int if not cfg.isothermal else None,
+                                  t_av if not cfg.isothermal else None)
 
             # global chemistry pass (evolve.F90:269, global_pass :499-573)
             chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
                               xh_int, xh_av, phih,
                               phiheat if not cfg.isothermal else None,
                               t_cur, t_av, clump,
-                              jnp.asarray(cosmo_cool_coeff, dtype), plr)
+                              jnp.asarray(cosmo_cool_coeff, dtype),
+                              _loss_rate(photon_loss))
             xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
             if not cfg.isothermal:
                 t_int, t_av = chem.temper_intermed, chem.temper_av
             conv_flag = int(chem.conv_flag)
-
-            # wall-clock-driven double-buffered dump (evolve.F90:253-266)
-            if dumper is not None:
-                dumper.maybe_dump(niter, photon_loss, phih, xh_av, xh_int,
-                                  phiheat if not cfg.isothermal else None,
-                                  t_int if not cfg.isothermal else None,
-                                  t_av if not cfg.isothermal else None)
 
             # per-iteration conservation report (global_pass :570-571)
             if stats is not None:

@@ -153,16 +153,17 @@ def test_driver_kitchen_sink(tmp_path):
     dc = DriverConfig(number_timesteps=2, number_outputs=1,
                       results_dir=str(tmp_path / "results") + "/")
     ad = make_test_adapter(cfg, source_dir=str(tmp_path) + "/")
-    drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, verbose=False)
     # GCM C(z) parameter file in the reference's Fortran-unformatted
-    # format (paramsGCM_<res>Mpc.dat, clumping_module.F90:122-157)
-    from c2ray_tpu.driver import load_clumping_model
+    # format (paramsGCM_<res>Mpc.dat, clumping_module.F90:122-157); the
+    # driver loads it at init from the adapter's dir_clump, passing the
+    # grid resolution (C2Ray.F90:264) - no manual injection
     from c2ray_tpu.utils.io_fortran import write_unformatted_records
     gcm = np.array([0.6, 0.02, 0.002, 0.0, 0.0, 0.0])
-    write_unformatted_records(str(tmp_path / "paramsGCM_1.000Mpc.dat"),
+    res = f"{cfg.dr_comoving / const.MPC:5.3f}"
+    write_unformatted_records(str(tmp_path / f"paramsGCM_{res}Mpc.dat"),
                               [gcm.tobytes()])
-    drv.clumping_model = load_clumping_model(cfg, resolution_mpc=1.0,
-                                             params_dir=str(tmp_path))
+    ad.dir_clump = str(tmp_path)
+    drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, verbose=False)
     assert drv.clumping_model.evaluate(9.0) > 1.0
     state = drv.run(max_slices=2)
     x = np.asarray(state.xh1)
