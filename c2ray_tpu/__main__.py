@@ -71,6 +71,12 @@ def main(argv=None):
                     help="wavefront sweep backend")
     args = ap.parse_args(argv)
 
+    # multi-host bootstrap (mpi.F90:83-178 analogue): no-op unless the
+    # C2RAY_COORDINATOR / C2RAY_NUM_PROCESSES / C2RAY_PROCESS_ID env vars
+    # are set (or the TPU pod runtime auto-detects them)
+    from .parallel import multihost
+    multihost.init_distributed()
+
     from .config import COSMOLOGY_SETS, test_problem_config
     from .driver import C2RayDriver, DriverConfig, read_input_file
     from .models.nbody import (cubep3m_adapter, gadget_adapter, lg_adapter,

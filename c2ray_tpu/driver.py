@@ -115,18 +115,27 @@ class C2RayDriver:
         self.cfg = cfg
         self.dc = driver_cfg or DriverConfig()
         self.adapter = adapter or test_adapter(cfg)
-        self.verbose = verbose
+
+        # multi-host rank discipline (mpi.F90:83-178): process 0 owns all
+        # file I/O; every process runs the same SPMD driver code.  In a
+        # single-process run io_rank is True and nothing changes.
+        from .parallel import multihost as mh
+        self._mh = mh
+        self.io_rank = mh.is_io_rank()
+        self.verbose = verbose and self.io_rank
 
         # init sequence (C2Ray.F90:108-198): grid, radiation tables,
         # cooling, material, sources, time, cosmology
-        self.clocks = Clocks(os.path.join(self.dc.results_dir, "Timings.log"))
+        self.clocks = Clocks(os.path.join(self.dc.results_dir, "Timings.log"),
+                             enabled=self.io_rank)
         self.tables = build_rad_tables(cfg)
         self.clocks.stamp("Time after radiation tables")
         self.cool = None if cfg.isothermal else setup_cool(cfg)
         self.solver = Evolve3D(cfg, self.tables, cool=self.cool,
                                raytracer=raytracer)
         self.stats = PhotonStatistics(cfg)
-        self.output = OutputWriter(cfg, results_dir=self.dc.results_dir)
+        self.output = OutputWriter(cfg, results_dir=self.dc.results_dir,
+                                   io_enabled=self.io_rank)
         self.output.setup()
         self.source_model = SourceModel.from_recipe(
             cfg, self.dc.uv_recipe, m_grid=self.adapter.m_grid,
@@ -134,9 +143,11 @@ class C2RayDriver:
         # fixed-budget UV models read their per-slice photon budgets at
         # init (source_properties_ini, sourceprops.F90:727-753)
         if self.dc.uv_recipe in (1, 2) and self.dc.uv_file:
+            # read on the I/O process and broadcast (the reference reads
+            # on rank 0 and MPI_BCASTs, sourceprops.F90:727-755)
             from .models.sources import read_uv_file
-            self.source_model.uv_array = read_uv_file(self.dc.uv_file,
-                                                      self.dc.uv_recipe)
+            self.source_model.uv_array = mh.read_on_io_rank(
+                read_uv_file, self.dc.uv_file, self.dc.uv_recipe)
         # load the sub-grid clumping parameter files at startup, passing
         # the grid resolution (C2Ray.F90:264 load_clumping_model(dr(1));
         # the file names carry the resolution in Mpc at f5.3,
@@ -150,17 +161,21 @@ class C2RayDriver:
         self.material = material
         self.clock = CosmoClock.init(cfg.cosmo,
                                      float(self.adapter.zred_array[0]))
-        # 15-minute double-buffered iteration dumps (evolve.F90:253-266)
+        # 15-minute double-buffered iteration dumps (evolve.F90:253-266),
+        # written by the I/O process only (:258 `if (rank == 0)`)
         from .utils.checkpoint import IterDumper
-        self.dumper = IterDumper(dump_dir=self.dc.dump_dir)
+        self.dumper = IterDumper(dump_dir=self.dc.dump_dir,
+                                 enabled=self.io_rank)
         self.history = []
         # rank-0 run log (the reference's results/C2Ray.log, unit logf=30,
         # mpi.F90:93-151): every driver message is teed into it
-        try:
-            self._logf = open(os.path.join(self.dc.results_dir,
-                                           "C2Ray.log"), "a")
-        except OSError:
-            self._logf = None
+        self._logf = None
+        if self.io_rank:
+            try:
+                self._logf = open(os.path.join(self.dc.results_dir,
+                                               "C2Ray.log"), "a")
+            except OSError:
+                pass
 
     def _log(self, *msg):
         if self.verbose:
@@ -190,7 +205,17 @@ class C2RayDriver:
                 self.material = MaterialState(
                     ndens_comoving=jnp.zeros(cfg.mesh, cfg.jnp_dtype))
 
-        # restart handling (C2Ray.F90:200-253)
+        # restart handling (C2Ray.F90:200-253); restart cubes are read on
+        # the I/O process and broadcast (xfrac_restart_init reads on the
+        # master and MPI_BCASTs, ionfractions_module.F90:56-120)
+        def _restart_from(zr):
+            vals = self._mh.read_on_io_rank(
+                lambda: tuple(None if x is None else np.asarray(x)
+                              for x in load_slice_restart(
+                                  cfg, dc.results_dir, zr)))
+            return GridState(*[None if v is None else jnp.asarray(v)
+                               for v in vals])
+
         nz0 = dc.nz0
         if dc.restart == 2:
             # mid-slice restart: resume from an intermediate output
@@ -200,9 +225,9 @@ class C2RayDriver:
                 raise ValueError(
                     f"restart=2: zred_interm {dc.zred_interm} outside slice "
                     f"[{zreds[nz0 + 1]}, {zreds[nz0]}]")
-            state = load_slice_restart(cfg, dc.results_dir, dc.zred_interm)
+            state = _restart_from(dc.zred_interm)
         elif dc.restart == 1:
-            state = load_slice_restart(cfg, dc.results_dir, float(zreds[nz0]))
+            state = _restart_from(float(zreds[nz0]))
         else:
             state = initial_state(cfg)
 
@@ -211,15 +236,21 @@ class C2RayDriver:
         iter_restart = None
         if dc.restart != 0 and dc.iter_restart:
             from .utils.checkpoint import IterDumper
-            which = dc.iter_restart
-            if which == 3:   # generic: newest valid dump
-                cands = [(i, os.path.join(dc.dump_dir, f"iterdump{i}.npz"))
-                         for i in (1, 2)]
-                cands = [(i, p) for i, p in cands if os.path.exists(p)]
-                which = max(cands, key=lambda t: os.path.getmtime(t[1]))[0] \
-                    if cands else 0
-            if which:
-                iter_restart = IterDumper.load(dc.dump_dir, which)
+
+            def _load_dump():
+                which = dc.iter_restart
+                if which == 3:   # generic: newest valid dump
+                    cands = [(i, os.path.join(dc.dump_dir,
+                                              f"iterdump{i}.npz"))
+                             for i in (1, 2)]
+                    cands = [(i, p) for i, p in cands if os.path.exists(p)]
+                    which = (max(cands, key=lambda t: os.path.getmtime(t[1]))
+                             [0] if cands else 0)
+                return (IterDumper.load(dc.dump_dir, which), which) \
+                    if which else (None, 0)
+
+            iter_restart, which = self._mh.read_on_io_rank(_load_dump)
+            if iter_restart is not None:
                 self._log(f"resuming from iterdump{which} "
                           f"(niter={int(iter_restart['niter'])})")
 
@@ -261,33 +292,41 @@ class C2RayDriver:
             # per-slice sources (C2Ray.F90:303, sourceprops.F90:103-209)
             sup_file = ad.source_filename(zred, nz,
                                           "_sources_used_wfgamma.dat")
+            # catalogs are read on the I/O process and broadcast (the
+            # reference reads on rank 0 and MPI_BCASTs the source arrays,
+            # sourceprops.F90:154-209,246-263)
             if (dc.restart >= 2 and nz == nz0
                     and self.source_model.uv_model != "Test"
-                    and os.path.exists(sup_file)):
+                    and self._mh.read_on_io_rank(os.path.exists, sup_file)):
                 # reproduce the restart's suppression state from the saved
                 # post-suppression list (sourceprops.F90:422-429,452-466)
                 from .models.sources import read_suppressed_source_list
-                cat = read_suppressed_source_list(sup_file)
+                cat = self._mh.read_on_io_rank(
+                    read_suppressed_source_list, sup_file)
             else:
-                rows = ad.read_sources(zred, nz)
+                rows = self._mh.read_on_io_rank(ad.read_sources, zred, nz)
                 cat = self.source_model.load(rows, self._x1(state), nz,
                                              end_time - sim_time, dt_slice=dt)
                 if cat.num_src == 0:
                     # bank the slice's photon budget (sourceprops.F90:199-207)
                     self.source_model.bank_photons(nz)
                 elif (self.source_model.uv_model != "Test"
-                      and sup_file != ad.source_filename(zred, nz)):
+                      and sup_file != ad.source_filename(zred, nz)
+                      and self.io_rank):
                     # record the post-suppression list for reproducible
-                    # restarts (sourceprops.F90:434-450)
+                    # restarts (sourceprops.F90:434-450, rank-0 write :154)
                     from .models.sources import write_suppressed_source_list
                     write_suppressed_source_list(sup_file, cat)
             cat = sort_sources_by_flux(cat)
             self._log(f"slice z={zred:.3f}: {cat.num_src} sources, "
                       f"total flux {cat.total_flux * cfg.sed.s_star:.3e} /s")
 
-            # per-slice density (C2Ray.F90:308, density_module.F90:48-125)
+            # per-slice density (C2Ray.F90:308, density_module.F90:48-125;
+            # read on the I/O process + broadcast like the reference's
+            # rank-0 read + MPI_BCAST, density_module.F90:82-125)
             if ad.nbody_type not in ("test",):
-                nd_prop = ad.read_density(zred, nz)  # proper at zred
+                nd_prop = self._mh.read_on_io_rank(
+                    ad.read_density, zred, nz)   # proper at zred
                 comoving = (nd_prop / (1.0 + zred) ** 3
                             if cfg.cosmological else nd_prop)
                 self.material = MaterialState(
@@ -304,12 +343,14 @@ class C2RayDriver:
                 if self.material.clumping_grid is not None:
                     clump_grid_slice = np.asarray(self.material.clumping_grid)
                 else:
-                    clump_grid_slice = ad.read_clumping_grid(zred)
+                    clump_grid_slice = self._mh.read_on_io_rank(
+                        ad.read_clumping_grid, zred)
             lls_grid_slice = self.material.lls_grid
             lls_slice = None
             if cfg.use_lls and cfg.type_of_lls == 2:
                 if lls_grid_slice is None:
-                    lls_grid_slice = ad.read_lls_grid(zred)
+                    lls_grid_slice = self._mh.read_on_io_rank(
+                        ad.read_lls_grid, zred)
                 # type-2 LLS columns are converted ONCE per slice at the
                 # slice redshift (C2Ray.F90:313; the timestep loop at
                 # :376 explicitly skips set_LLS for type 2)

@@ -123,6 +123,9 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
                 # rate slabs: sum over the source shards, stay dom-sharded
                 phih = lax.psum(phih, src_axis)
                 heat = lax.psum(heat, src_axis)
+                # per-source losses replicated for host-side reads on
+                # every process of a multi-host run
+                per_src = lax.all_gather(per_src, src_axis, tiled=True)
             return phih, heat, loss, lls_loss, per_src
 
         rep = P()
@@ -132,7 +135,7 @@ def domain_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
         fn = jax.shard_map(
             local, mesh=mesh,
             in_specs=(rep, rep, src_spec, src_spec, rep, rep, src_spec),
-            out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
+            out_specs=(dom_spec, heat_spec, rep, rep, rep),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
                                                  nflux, sc, lls_grid,
@@ -238,6 +241,7 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
                 phih = lax.psum(phih, src_axis)
                 if not cfg.isothermal:
                     heat = lax.psum(heat, src_axis)
+                per_src = lax.all_gather(per_src, src_axis, tiled=True)
             return phih, heat, loss, lls_loss, per_src
 
         rep = P()
@@ -248,7 +252,7 @@ def halo_sharded_raytracer(mesh: Mesh, dom_axis: str = "dom",
             local, mesh=mesh,
             in_specs=(dom_spec, dom_spec, src_spec, src_spec, rep,
                       dom_spec if lls_grid is not None else rep, src_spec),
-            out_specs=(dom_spec, heat_spec, rep, rep, src_spec),
+            out_specs=(dom_spec, heat_spec, rep, rep, rep),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
                                                  nflux, sc, lls_grid,

@@ -90,6 +90,10 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
             heat = lax.psum(heat, axis_name)
             loss = lax.psum(loss, axis_name)
             lls_loss = lax.psum(lls_loss, axis_name)
+            # per-source losses come back replicated (all_gather) so the
+            # host-side adaptive-radius promotion can read them on every
+            # process of a multi-host run
+            per_src = lax.all_gather(per_src, axis_name, tiled=True)
             return phih, heat, loss, lls_loss, per_src
 
         rep = P()                     # replicated
@@ -97,7 +101,7 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
         fn = jax.shard_map(
             local, mesh=mesh,
             in_specs=(rep, rep, shard, shard, rep, rep, shard),
-            out_specs=(rep, rep, rep, rep, shard),
+            out_specs=(rep, rep, rep, rep, rep),
             check_vma=False)
         phih, heat, loss, lls_loss, per_src = fn(ndens, xh_av1, srcpos,
                                                  nflux, sc, lls_grid,

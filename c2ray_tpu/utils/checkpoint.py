@@ -63,6 +63,10 @@ class IterDumper:
 
     dump_dir: str = "./"
     interval_s: float = DUMP_INTERVAL_S
+    # enabled=False on non-I/O processes of a multi-host run: the
+    # reference writes the dump on rank 0 only (evolve.F90:258-265
+    # inside `if (rank == 0)`)
+    enabled: bool = True
     _ndump: int = 0
     _last_wall: float = field(default_factory=time.time)
 
@@ -70,6 +74,8 @@ class IterDumper:
                    xh_intermed, phiheat=None, temper=None,
                    temper_av=None) -> Optional[str]:
         """Dump if >15 wall-clock minutes since the last one."""
+        if not self.enabled:
+            return None
         now = time.time()
         if now - self._last_wall < self.interval_s:
             return None

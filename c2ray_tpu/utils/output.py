@@ -27,12 +27,20 @@ class OutputWriter:
     cfg: RunConfig
     results_dir: str = "./results/"
     streams: tuple = (0, 1, 1, 0, 0)      # output.F90:47
+    # io_enabled=False on non-I/O processes of a multi-host run: every
+    # write becomes a no-op (the reference gates each on `rank == 0`,
+    # output.F90:179), but derived numbers (the photon-conservation
+    # violation flag) are still computed so all processes agree on the
+    # abort decision
+    io_enabled: bool = True
     _pc1: Optional[object] = None
     _pc2: Optional[object] = None
 
     def setup(self) -> None:
         """setup_output (output.F90:61-120): open the photon-count files
         and write their headers."""
+        if not self.io_enabled:
+            return
         os.makedirs(self.results_dir, exist_ok=True)
         self._pc1 = open(os.path.join(self.results_dir, "PhotonCounts.out"),
                          "a")
@@ -63,6 +71,8 @@ class OutputWriter:
 
     def write_stream1(self, zred, x_coords, xh1, temper, ndens, srcpos0):
         """Axis profile through the first source (output.F90:229-280)."""
+        if not self.io_enabled:
+            return
         path = self._path("Ifront1_", zred, ".dat")
         j, k = int(srcpos0[1]), int(srcpos0[2])
         with open(path, "w") as f:
@@ -76,6 +86,8 @@ class OutputWriter:
     def write_stream2(self, zred, xh1, temper=None):
         """Full ionization cube, dp (+ temperature cube, sp)
         (output.F90:285-337)."""
+        if not self.io_enabled:
+            return
         write_sm3d(self._path("xfrac3D_", zred, ".bin"),
                    np.asarray(xh1), np.float64)
         if temper is not None and not self.cfg.isothermal:
@@ -84,6 +96,8 @@ class OutputWriter:
 
     def write_stream3(self, zred, phih, phiheat=None):
         """Ionization (+heating) rate cubes, sp (output.F90:342-390)."""
+        if not self.io_enabled:
+            return
         write_sm3d(self._path("IonRates3D_", zred, ".bin"),
                    np.asarray(phih), np.float32)
         if phiheat is not None and not self.cfg.isothermal:
@@ -92,6 +106,8 @@ class OutputWriter:
 
     def write_stream4(self, zred, xh1):
         """Midplane ionization slices (output.F90:395-454)."""
+        if not self.io_enabled:
+            return
         n1, n2, n3 = self.cfg.mesh
         cuts = [("xy", np.asarray(xh1[:, :, n3 // 2 - 1], np.float32)),
                 ("xz", np.asarray(xh1[:, n2 // 2 - 1, :], np.float32)),
@@ -103,6 +119,8 @@ class OutputWriter:
 
     def write_stream5(self, zred, ndens):
         """Midplane density slices (output.F90:459-501)."""
+        if not self.io_enabled:
+            return
         n1, n2, n3 = self.cfg.mesh
         nd = np.asarray(ndens, np.float32)
         cuts = [("xy", nd[:, :, n3 // 2 - 1]), ("xz", nd[:, n2 // 2 - 1, :]),
