@@ -31,6 +31,110 @@ import numpy as np
 REFERENCE_CORE_UPDATES_PER_S = 1.0e7
 
 
+def full_step_bench(args):
+    """Time the complete global timestep (Evolve3D.evolve3d): source sweep
+    + global chemistry pass + photon-statistics audit + the host-driven
+    convergence loop's sync points.
+
+    This is the reference's unit of work (evolve.F90:83-281 is called once
+    per timestep); the headline sweep metric above covers only the
+    raytracing pass.  Reported metric: grid-cell convergence-iterations/s
+    = N^3 * niter / wall, with a phase breakdown on stderr.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from c2ray_tpu.config import test_problem_config
+    from c2ray_tpu.ops.photonstats import PhotonStatistics
+    from c2ray_tpu.ops.tables import build_rad_tables
+    from c2ray_tpu.solver import Evolve3D
+    from c2ray_tpu.state import initial_state
+
+    n = args.mesh
+    backend = args.backend
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                   else "facemajor")
+    batch = args.batch if args.batch else min(args.sources, 256)
+    cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
+                              type_of_lls=1, cosmological=False,
+                              sweep_backend=backend, source_batch=batch)
+    tables = build_rad_tables(cfg)
+
+    rng = np.random.default_rng(0)
+    srcpos = rng.integers(0, n, (args.sources, 3)).astype(np.int32)
+    # same flux range as the sweep bench so the two metrics compare
+    nflux = (10.0 ** rng.uniform(6, 9, args.sources)).astype(np.float64)
+
+    nh = 1.98e-4                       # mean density at z~9 [cm^-3]
+    ndens = jnp.full(cfg.mesh, np.float32(nh))
+    dr = 2.9e24 / (n / 64)
+    # dt ~ a Myr: the reference's typical z-slice substep
+    dt = 3.0e13
+
+    solver = Evolve3D(cfg, tables)
+    state = initial_state(cfg)
+    # half-ionized medium (as in the sweep bench): the chemistry pass
+    # relaxes toward equilibrium each step instead of a one-shot flash
+    state = state._replace(xh1=jnp.asarray(
+        rng.uniform(0.3, 0.9, cfg.mesh).astype(np.float32)))
+    stats = PhotonStatistics(cfg)
+
+    # warmup step: compiles sweep buckets + chemistry + counts
+    t0 = time.time()
+    state_w, info_w = solver.evolve3d(state, ndens, dr, srcpos, nflux, dt,
+                                      lls_coldens=1e17, stats=stats)
+    compile_s = time.time() - t0
+
+    times, niters = [], []
+    for _ in range(args.iters):
+        t0 = time.time()
+        state, info = solver.evolve3d(state, ndens, dr, srcpos, nflux, dt,
+                                      lls_coldens=1e17, stats=stats)
+        times.append(time.time() - t0)
+        niters.append(info.niter)
+    elapsed = float(np.sum(times))
+    total_iters = int(np.sum(niters))
+    per_iter = elapsed / max(total_iters, 1)
+    rate = cfg.n_cells * total_iters / elapsed
+
+    # phase breakdown: one extra timed call per compiled phase
+    import jax as _jax
+    sc_phih = info.phih
+    t0 = time.time()
+    chem = solver._chem(jnp.float32(dt), ndens, state.xh1, state.xh1,
+                        state.xh1, sc_phih, None,
+                        state.temper_current, state.temper_av,
+                        jnp.float32(1.0), jnp.float32(0.0),
+                        jnp.zeros((), jnp.float32))
+    _jax.block_until_ready(chem)
+    chem_ms = (time.time() - t0) * 1e3
+    t0 = time.time()
+    c = solver._counts(ndens, state.xh1, state.temper_av, jnp.float32(1.0))
+    _jax.block_until_ready(c)
+    counts_ms = (time.time() - t0) * 1e3
+
+    print(json.dumps({
+        "metric": f"full_timestep_cell_iters_per_s_{n}cube",
+        "value": rate,
+        "unit": "cell*conv_iters/s/chip",
+        "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
+    }))
+    print(f"# FULL STEP mesh={n}^3 sources={args.sources} "
+          f"steps={args.iters} total_iters={total_iters} "
+          f"step={elapsed/args.iters*1e3:.0f} ms "
+          f"per_conv_iter={per_iter*1e3:.1f} ms "
+          f"chem_pass={chem_ms:.1f} ms counts={counts_ms:.1f} ms "
+          f"compile+first_step={compile_s:.1f}s "
+          f"mean_x={info.mean_xh1:.4f} "
+          f"platform={jax.devices()[0].platform} backend={backend}",
+          file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", type=int, default=256)
@@ -53,9 +157,15 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed "
                          "iterations to DIR")
+    ap.add_argument("--full-step", action="store_true",
+                    help="benchmark the complete Evolve3D timestep "
+                         "(sweep + chemistry + stats + host syncs) "
+                         "instead of the sweep pass alone")
     args = ap.parse_args()
     if args.quick:
         args.mesh, args.sources, args.iters = 64, 4, 2
+    if args.full_step:
+        return full_step_bench(args)
 
     import jax
     # persistent compilation cache: repeat benches skip the multi-minute

@@ -400,3 +400,59 @@ def test_solver_with_halo_raytracer():
         results[key] = np.asarray(state.xh1)
     np.testing.assert_allclose(results["halo"], results["serial"],
                                rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_halo_sharded_production_mesh():
+    """The halo-exchange march at a production mesh size: 256^3 decomposed
+    over 8 slab domains, parity vs the replicated serial sweep, with the
+    per-device field footprint pinned to N^3/ndom.
+
+    This is the designated path for the reference's largest production
+    meshes (864^3-1200^3, sizes.f90:50-71) where the full cube exceeds
+    one chip's HBM; scripts/validate_halo_large.py runs the same check
+    at 864^3 (recorded in BENCH_HISTORY.md).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from c2ray_tpu.parallel.domain import halo_sharded_raytracer
+
+    n, ndom = 256, 8
+    cfg = make_config(mesh=n, dtype="float64", use_lls=False,
+                      cosmological=False)
+    tabs = build_rad_tables(cfg)
+    dr = 2.9e24 / (n / 64)
+    sc = SweepScalars(dr=jnp.float64(dr),
+                      rate_scale=jnp.float64(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float64(0.0),
+                      rmax2_cells=jnp.float64(0.0))
+    rng = np.random.default_rng(864)
+    nd = jnp.asarray(rng.uniform(1e-4, 3e-4, (n, n, n)).astype(np.float64))
+    xa = jnp.asarray(rng.uniform(0.0, 0.5, (n, n, n)).astype(np.float64))
+    # one interior + one wrap-row source
+    srcpos = np.array([[131, 77, 200], [2, 250, 13]], np.int32)
+    nflux = np.array([1e9, 3e8])
+
+    serial = raytrace_all_sources(cfg, tabs, nd, xa, jnp.asarray(srcpos),
+                                  jnp.asarray(nflux), sc)
+
+    mesh = make_device_mesh(ndom, axis_name="dom")
+    # pre-shard the fields so no replicated N^3 copy is materialized
+    sh = NamedSharding(mesh, P("dom"))
+    nd_s = jax.device_put(nd, sh)
+    xa_s = jax.device_put(xa, sh)
+    rt = halo_sharded_raytracer(mesh)
+    got = rt(cfg, tabs, nd_s, xa_s, jnp.asarray(srcpos),
+             jnp.asarray(nflux), sc)
+
+    # per-device resident slab = N^3/ndom cells exactly
+    phih = got[0]
+    for arr in (nd_s, xa_s, phih):
+        shard_shapes = {s.data.shape for s in arr.addressable_shards}
+        assert shard_shapes == {(n // ndom, n, n)}
+
+    np.testing.assert_allclose(np.asarray(phih), np.asarray(serial[0]),
+                               rtol=1e-11)
+    assert float(got[2]) == pytest.approx(float(serial[2]), rel=1e-11,
+                                          abs=1e-300)
+    np.testing.assert_allclose(np.asarray(got[4]), np.asarray(serial[4]),
+                               rtol=1e-11)
