@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .config import RunConfig
 from .ops.chemistry import global_chemistry
-from .ops.photonstats import PhotonStatistics, grid_counts
+from .ops.photonstats import GridCounts, PhotonStatistics, grid_counts
 from .ops.sweep import SweepScalars, raytrace_all_sources
 from .ops.tables import RadTables
 from .ops.thermal import CoolingTable
@@ -71,9 +71,9 @@ class Evolve3D:
                       lls_grid=lls_grid, max_shell=max_shell,
                       nflux_xray=nflux_xray)
 
-        @jax.jit
-        def _chem(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
-                  t_cur, t_av, clumping, cosmo_cool_coeff, photon_loss_rate):
+        def _chem_call(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
+                       t_cur, t_av, clumping, cosmo_cool_coeff,
+                       photon_loss_rate):
             if chemistry is not None:
                 # injected distributed variant (parallel/domain.py)
                 return chemistry(cfg, dt, ndens, xh1_old, xh1_int, xh1_av,
@@ -84,6 +84,8 @@ class Evolve3D:
                                     phih, phiheat, t_cur, t_av, clumping,
                                     cool, cosmo_cool_coeff,
                                     photon_loss_rate=photon_loss_rate)
+
+        _chem = jax.jit(_chem_call)
 
         def _dense_x1(x):
             if cfg.compressed_xfrac:
@@ -99,8 +101,7 @@ class Evolve3D:
             return grid_counts(cfg, ndens, xh1, t_av, clumping,
                                compressed=cfg.compressed_xfrac)
 
-        @jax.jit
-        def _lossrate(ndens, xh_av1, sc, loss_per_cell):
+        def _lossrate_body(ndens, xh_av1, sc, loss_per_cell):
             # redistribute boundary losses as a per-cell per-atom rate:
             # each cell absorbs its share through its own column (the
             # reference's dormant add_photon_losses block,
@@ -115,10 +116,55 @@ class Evolve3D:
                                  jnp.ones_like(coldens_cell), loss_per_cell)
             return phi.photo_cell * sc.rate_scale / ndhi
 
+        _lossrate = jax.jit(_lossrate_body)
+
         @jax.jit
         def _sum(x):
             # total ionized fraction (decodes compressed storage)
             return jnp.sum(_dense_x1(x))
+
+        from functools import partial as __partial
+
+        @__partial(jax.jit, static_argnames=("with_stats",))
+        def _tail(dt, ndens, xh1_old, xh1_int, xh1_av, phih, phiheat,
+                  t_cur, t_av, clumping, cosmo_cool_coeff, sc, ploss, llsl,
+                  with_stats):
+            """Fused per-iteration tail: loss redistribution + global
+            chemistry + photon-audit counts + convergence sum, one device
+            program.  Every scalar the host needs for the convergence
+            iteration comes back in ONE packed vector
+            [conv_flag, sum_xh1, photon_loss, lls_loss,
+             (h0_after, h1_after, rec_rate, coll_rate)]
+            so the loop costs a single dispatch+wait round trip per
+            iteration instead of ~8 (each costs ~30 ms on the remote-chip
+            stack; see BENCH_HISTORY 'full-timestep benchmark')."""
+            if cfg.add_photon_losses:
+                rate = _lossrate_body(ndens, xh1_av, sc,
+                                      ploss / cfg.n_cells)
+                loss_rate = jnp.where(ploss > 0.0, rate,
+                                      jnp.zeros_like(rate))
+            else:
+                loss_rate = jnp.zeros((), ndens.dtype)
+            chem = _chem_call(dt, ndens, xh1_old, xh1_int, xh1_av, phih,
+                              phiheat, t_cur, t_av, clumping,
+                              cosmo_cool_coeff, loss_rate)
+            sum1 = jnp.sum(_dense_x1(chem.xh1_intermed))
+            dtype_l = sum1.dtype
+            scalars = [chem.conv_flag.astype(dtype_l), sum1,
+                       jnp.asarray(ploss, dtype_l).reshape(()),
+                       jnp.asarray(llsl, dtype_l).reshape(())]
+            if with_stats:
+                # audit counts on the post-chemistry iterates, with the
+                # updated time-averaged temperature (non-isothermal)
+                t_stats = t_av if cfg.isothermal else chem.temper_av
+                ca = grid_counts(cfg, ndens, chem.xh1_intermed, t_stats,
+                                 clumping, compressed=cfg.compressed_xfrac)
+                cr = grid_counts(cfg, ndens, chem.xh1_av, t_stats,
+                                 clumping, compressed=cfg.compressed_xfrac)
+                scalars += [ca.h0, ca.h1, cr.rec_rate, cr.coll_rate]
+            packed = jnp.stack([jnp.asarray(s, dtype_l) for s in scalars])
+            return (chem.xh1_intermed, chem.xh1_av, chem.temper_intermed,
+                    chem.temper_av, packed)
 
         self._sweep = _sweep
         self._sweep_r = _sweep_r
@@ -126,6 +172,7 @@ class Evolve3D:
         self._counts = _counts
         self._sum = _sum
         self._lossrate = _lossrate
+        self._tail = _tail
 
     # ------------------------------------------------------------------
     def _radius_ladder(self):
@@ -176,26 +223,27 @@ class Evolve3D:
 
     def _adaptive_sweep(self, ndens, xh_av, srcpos_np, nflux_np, srcpos,
                         nflux, sc, lls_grid, assign, nfx_np=None):
-        """Sweep sources grouped by their assigned radius; promote leaky
-        sources for the next convergence iteration (the TPU analogue of
-        the reference's subbox growth loop, evolve_source.F90:128-212).
+        """Sweep sources grouped by their assigned radius (the TPU
+        analogue of the reference's subbox growth loop,
+        evolve_source.F90:128-212).
 
         Buckets below the full-grid radius run through the windowed sweep
-        (ops.sweep.raytrace_windowed) so their cost scales with sum(r^3);
-        all host syncs are deferred to after the last bucket dispatch.
-        """
+        (ops.sweep.raytrace_windowed) so their cost scales with sum(r^3).
+        NO host syncs happen here: the loss scalars come back as device
+        values and the per-source losses as a `pending` list of
+        (bucket indices, device array) pairs — the caller folds them into
+        its single per-iteration fetch and applies the promotion rule
+        afterwards (`_promote`)."""
         cfg = self.cfg
         dtype = cfg.jnp_dtype
         n = cfg.mesh[0]
         ladder = self._radius_ladder()
-        s = len(nflux_np)
         phih = jnp.zeros((n, n, n), dtype)
         heat = (jnp.zeros((n, n, n), dtype) if not cfg.isothermal
                 else jnp.zeros((), dtype))
-        loss_parts = []
-        lls_parts = []
-        pending = []   # (idx, device per-source losses) — synced after loop
-        per_src = np.zeros(s)
+        loss = jnp.zeros((), dtype)
+        lls_loss = jnp.zeros((), dtype)
+        pending = []   # (idx, device per-source losses) — synced by caller
         for b, radius in enumerate(ladder):
             idx = np.where(assign == b)[0]
             if len(idx) == 0:
@@ -218,21 +266,20 @@ class Evolve3D:
             phih = phih + ph
             if not cfg.isothermal:
                 heat = heat + he
-            loss_parts.append(lo)
-            lls_parts.append(ll)
+            loss = loss + lo
+            lls_loss = lls_loss + ll
             pending.append((idx, ps))
-        # one sync point after all buckets are dispatched
-        loss = float(sum(float(x) for x in loss_parts)) if loss_parts else 0.0
-        lls_loss = (float(sum(float(x) for x in lls_parts))
-                    if lls_parts else 0.0)
-        for idx, ps in pending:
-            per_src[idx] = np.asarray(ps)[:len(idx)]
-        # promotion: escaping photons above loss_fraction of the source's
-        # output (c2ray_parameters.f90:67)
-        leaked = per_src > cfg.loss_fraction * np.maximum(nflux_np, 1e-300)
-        new_assign = np.where(leaked & (assign < len(ladder) - 1),
-                              assign + 1, assign)
-        return phih, heat, loss, lls_loss, per_src, new_assign
+        return phih, heat, loss, lls_loss, pending
+
+    def _promote(self, per_src, nflux_np, assign):
+        """Escaping photons above loss_fraction of the source's output
+        promote it to the next radius rung for the next convergence
+        iteration (c2ray_parameters.f90:67, evolve_source.F90:128-136)."""
+        ladder = self._radius_ladder()
+        leaked = per_src > self.cfg.loss_fraction * np.maximum(nflux_np,
+                                                               1e-300)
+        return np.where(leaked & (assign < len(ladder) - 1),
+                        assign + 1, assign)
 
     # ------------------------------------------------------------------
     def evolve3d(self, state: GridState, ndens_proper: jax.Array,
@@ -307,14 +354,6 @@ class Evolve3D:
         prev_sum1 = 2.0 * n_cells
         prev_sum0 = 2.0 * n_cells
 
-        def _loss_rate(loss):
-            # redistributed boundary losses (add_photon_losses,
-            # evolve.F90:519-525 + evolve_point.F90:497-506)
-            if cfg.add_photon_losses and loss > 0.0:
-                return self._lossrate(ndens_proper, xh_av, sc,
-                                      jnp.asarray(loss / n_cells, dtype))
-            return jnp.zeros((), dtype)
-
         # conv_criterion (evolve.F90:162-163)
         conv_criterion = min(int(cfg.convergence_fraction * n_cells),
                              (num_src - 1) // 3)
@@ -324,8 +363,27 @@ class Evolve3D:
         per_src_loss = np.zeros(num_src)
         converged = False
         last_report = {}
+        last_stat4 = None        # floats from the last fused-tail fetch
+        total_flux = float(nflux_np.sum())
         phih = None
         phiheat = None
+        with_stats = stats is not None
+        dt_dev = jnp.asarray(dt, dtype)
+        coeff_dev = jnp.asarray(cosmo_cool_coeff, dtype)
+        sum1 = None              # running total-ionized sum (host float)
+
+        def _run_tail(ploss_dev, llsl_dev):
+            """Dispatch the fused chemistry+audit+sum tail; returns the
+            device handles without blocking."""
+            return self._tail(dt_dev, ndens_proper, xh1, xh_int, xh_av,
+                              phih, phiheat if not cfg.isothermal else None,
+                              t_cur, t_av, clump, coeff_dev, sc, ploss_dev,
+                              llsl_dev, with_stats=with_stats)
+
+        def _apply_stat4(s4):
+            # host-side float math from the tail's packed audit scalars
+            stats.calculate(GridCounts(s4[0], s4[1], 0.0, 0.0),
+                            GridCounts(0.0, 0.0, s4[2], s4[3]), vol, dt)
 
         # Pending global pass on resume: the dump is written after the
         # source sweep but *before* the chemistry pass (evolve.F90:253-269),
@@ -337,26 +395,24 @@ class Evolve3D:
             if not cfg.isothermal and "phiheat" in iter_restart:
                 phiheat = jnp.asarray(iter_restart["phiheat"], dtype)
             photon_loss = float(iter_restart["photon_loss"])
-            chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
-                              xh_int, xh_av, phih,
-                              phiheat if not cfg.isothermal else None,
-                              t_cur, t_av, clump,
-                              jnp.asarray(cosmo_cool_coeff, dtype),
-                              _loss_rate(photon_loss))
-            xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
+            (xh_int, xh_av, t_int_d, t_av_d,
+             packed) = _run_tail(jnp.asarray(photon_loss, dtype),
+                                 jnp.asarray(0.0, dtype))
             if not cfg.isothermal:
-                t_int, t_av = chem.temper_intermed, chem.temper_av
-            conv_flag = int(chem.conv_flag)
-            if stats is not None:
-                ca = self._counts(ndens_proper, xh_int, t_av, clump)
-                cr = self._counts(ndens_proper, xh_av, t_av, clump)
-                stats.calculate(ca, cr, vol, dt)
+                t_int, t_av = t_int_d, t_av_d
+            got = np.asarray(packed)      # one D2H copy
+            conv_flag = int(got[0])
+            sum1 = float(got[1])
+            if with_stats:
+                last_stat4 = tuple(float(v) for v in got[4:8])
+                _apply_stat4(last_stat4)
                 last_report = stats.report(dt, photon_loss, lls_loss,
-                                           float(np.sum(np.asarray(nflux))))
+                                           total_flux)
 
         while True:
             # convergence tests (evolve.F90:179-233)
-            sum1 = float(self._sum(xh_int))
+            if sum1 is None:
+                sum1 = float(self._sum(xh_int))
             sum0 = float(n_cells) - sum1
             rel1 = abs(sum1 - prev_sum1) / sum1 if sum1 > 0.0 else 1.0
             rel0 = abs(sum0 - prev_sum0) / sum0 if sum0 > 0.0 else 1.0
@@ -386,67 +442,100 @@ class Evolve3D:
             niter += 1
 
             # pass over all sources (rates implicitly zeroed by functional
-            # accumulation; evolve.F90:243-246)
+            # accumulation; evolve.F90:243-246).  Everything below up to
+            # the device_get is async dispatch: the sweep, the fused
+            # chemistry/audit tail, and the scalar reads cost ONE
+            # dispatch+wait round trip per convergence iteration.
+            pending = None
             if use_adaptive:
                 if radius_assign is None:
                     nd_mean = float(jnp.mean(ndens_proper))
                     radius_assign = self._initial_radii(
                         nflux_np, nd_mean, float(dr_proper), dt)
-                (phih, phiheat, photon_loss, lls_loss, per_src_loss,
-                 radius_assign) = self._adaptive_sweep(
-                    ndens_proper, xh_av, srcpos_np, nflux_np, srcpos, nflux,
-                    sc, lls_grid, radius_assign, nfx_np=nfx_np)
+                phih, phiheat, ploss_d, llsl_d, pending = \
+                    self._adaptive_sweep(
+                        ndens_proper, xh_av, srcpos_np, nflux_np, srcpos,
+                        nflux, sc, lls_grid, radius_assign, nfx_np=nfx_np)
             else:
-                phih, phiheat, ploss, llsl, psrc = self._sweep(
+                phih, phiheat, ploss_d, llsl_d, psrc_d = self._sweep(
                     ndens_proper, xh_av, srcpos, nflux, sc, lls_grid, nfx)
-                photon_loss = float(ploss)
-                lls_loss = float(llsl)
-                per_src_loss = np.asarray(psrc)
 
-            # wall-clock-driven double-buffered dump: written after the
-            # sweep, BEFORE the chemistry pass (evolve.F90:253-266), so a
-            # resume re-enters at the pending global pass with these rate
-            # grids and pre-chemistry iterates
-            if dumper is not None:
-                dumper.maybe_dump(niter, photon_loss, phih, xh_av, xh_int,
-                                  phiheat if not cfg.isothermal else None,
-                                  t_int if not cfg.isothermal else None,
-                                  t_av if not cfg.isothermal else None)
+            # pre-chemistry iterates, kept for the iteration dump below
+            xh_av_pre, xh_int_pre = xh_av, xh_int
+            t_int_pre, t_av_pre = t_int, t_av
 
-            # global chemistry pass (evolve.F90:269, global_pass :499-573)
-            chem = self._chem(jnp.asarray(dt, dtype), ndens_proper, xh1,
-                              xh_int, xh_av, phih,
-                              phiheat if not cfg.isothermal else None,
-                              t_cur, t_av, clump,
-                              jnp.asarray(cosmo_cool_coeff, dtype),
-                              _loss_rate(photon_loss))
-            xh_int, xh_av = chem.xh1_intermed, chem.xh1_av
+            (xh_int, xh_av, t_int_d, t_av_d,
+             packed) = _run_tail(ploss_d, llsl_d)
             if not cfg.isothermal:
-                t_int, t_av = chem.temper_intermed, chem.temper_av
-            conv_flag = int(chem.conv_flag)
+                t_int, t_av = t_int_d, t_av_d
+
+            # the single blocking fetch for this iteration: the tail's
+            # packed scalar vector + the per-source losses, concatenated
+            # into ONE buffer so exactly one D2H copy happens
+            parts = ([ps.ravel().astype(packed.dtype) for _, ps in pending]
+                     if use_adaptive
+                     else [psrc_d.ravel().astype(packed.dtype)])
+            got = np.asarray(jnp.concatenate([packed] + parts))
+            conv_flag = int(got[0])
+            sum1 = float(got[1])
+            photon_loss = float(got[2])
+            lls_loss = float(got[3])
+            k = 4
+            if with_stats:
+                last_stat4 = tuple(float(v) for v in got[4:8])
+                k = 8
+            if use_adaptive:
+                per_src_loss = np.zeros(num_src)
+                for idx, ps in pending:
+                    m = int(ps.shape[0])
+                    per_src_loss[idx] = got[k:k + m][:len(idx)]
+                    k += m
+                radius_assign = self._promote(per_src_loss, nflux_np,
+                                              radius_assign)
+            else:
+                m = int(psrc_d.shape[0])
+                per_src_loss = got[k:k + m].astype(np.float64)
+
+            # wall-clock-driven double-buffered dump: carries the
+            # POST-sweep PRE-chemistry iterates + rate grids
+            # (evolve.F90:253-266), so a resume re-enters at the pending
+            # global pass.  (Called after the fetch only so photon_loss
+            # is a host float; the dumped content is identical.)
+            if dumper is not None:
+                dumper.maybe_dump(niter, photon_loss, phih, xh_av_pre,
+                                  xh_int_pre,
+                                  phiheat if not cfg.isothermal else None,
+                                  t_int_pre if not cfg.isothermal else None,
+                                  t_av_pre if not cfg.isothermal else None)
 
             # per-iteration conservation report (global_pass :570-571)
-            if stats is not None:
-                ca = self._counts(ndens_proper, xh_int, t_av, clump)
+            if with_stats:
+                _apply_stat4(last_stat4)
+                last_report = stats.report(dt, photon_loss, lls_loss,
+                                           total_flux)
+
+        # end-of-step statistics (evolve.F90:277-279).  The final state
+        # equals the last iteration's post-chemistry iterates, so the
+        # audit scalars from the last fused tail ARE the end-of-step
+        # counts — no extra device pass needed.
+        if stats is not None:
+            if last_stat4 is None:
+                # no tail ran this call (immediate convergence)
+                ca = self._counts(ndens_proper, xh1, t_av, clump)
                 cr = self._counts(ndens_proper, xh_av, t_av, clump)
                 stats.calculate(ca, cr, vol, dt)
-                last_report = stats.report(dt, photon_loss, lls_loss,
-                                           float(np.sum(np.asarray(nflux))))
-
-        # end-of-step statistics (evolve.F90:277-279)
-        if stats is not None:
-            ca = self._counts(ndens_proper, xh1, t_av, clump)
-            cr = self._counts(ndens_proper, xh_av, t_av, clump)
-            stats.calculate(ca, cr, vol, dt)
-            total_flux = float(np.sum(np.asarray(nflux)))
+            else:
+                _apply_stat4(last_stat4)
             last_report = stats.report(dt, photon_loss, lls_loss, total_flux)
             stats.update_grandtotal(dt, total_flux)
 
+        if sum1 is None:
+            sum1 = float(self._sum(xh1))
         new_state = GridState(xh1=xh1, temper_current=t_cur,
                               temper_av=t_av, temper_intermed=t_int)
         info = EvolveInfo(
             niter=niter, conv_flag=conv_flag, converged=converged,
-            mean_xh1=float(self._sum(xh1)) / n_cells,
+            mean_xh1=sum1 / n_cells,
             photon_loss=photon_loss, lls_loss=lls_loss,
             per_source_loss=per_src_loss, photon_stats=last_report,
             phih=phih, phiheat=phiheat if not cfg.isothermal else None)

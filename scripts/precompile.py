@@ -116,6 +116,22 @@ def main():
     jax.block_until_ready((ch, c, s))
     print(f"  {'chemistry + counts + sum':36s} {time.time()-t0:7.1f} s",
           flush=True)
+    # the fused per-iteration tail (the production solver loop path)
+    from c2ray_tpu.ops.sweep import SweepScalars
+    sc_t = SweepScalars(dr=jdt(2.9e24), rate_scale=jdt(1.0),
+                        lls_coldens=jdt(0.0), rmax2_cells=jdt(0.0))
+    for ws in (True, False):
+        t0 = time.time()
+        tl = solver._tail(jdt(3e13), ndens, xh, xh, xh,
+                          jnp.zeros(cfg.mesh, jdt),
+                          None if cfg.isothermal else jnp.zeros(cfg.mesh, jdt),
+                          jnp.full(cfg.mesh, jdt(1e4)),
+                          jnp.full(cfg.mesh, jdt(1e4)),
+                          jdt(1.0), jdt(0.0), sc_t, jdt(0.0), jdt(0.0),
+                          with_stats=ws)
+        jax.block_until_ready(tl)
+        print(f"  {'fused tail with_stats=' + str(ws):36s} "
+              f"{time.time()-t0:7.1f} s", flush=True)
     print("cache populated.")
 
 

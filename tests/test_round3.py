@@ -22,11 +22,13 @@ def _counting_solver(cfg, tabs):
     """Evolve3D with host-level sweep/chemistry dispatch counting."""
     solver = Evolve3D(cfg, tabs)
     events = []
-    for name in ("_sweep", "_sweep_r", "_chem"):
+    for name in ("_sweep", "_sweep_r", "_tail"):
         orig = getattr(solver, name)
 
         def wrapped(*a, _orig=orig, _tag=name, **k):
-            events.append("chem" if _tag == "_chem" else "sweep")
+            # _tail is the fused chemistry+audit tail: one dispatch per
+            # global chemistry pass
+            events.append("chem" if _tag == "_tail" else "sweep")
             return _orig(*a, **k)
 
         setattr(solver, name, wrapped)
