@@ -102,16 +102,21 @@ def full_step_bench(args):
     per_iter = elapsed / max(total_iters, 1)
     rate = cfg.n_cells * total_iters / elapsed
 
-    # phase breakdown: one extra timed call per compiled phase
+    # phase breakdown: time the fused tail (chemistry + audit counts +
+    # convergence sum — the program the solver loop actually runs) warm
     import jax as _jax
+    from c2ray_tpu.ops.sweep import SweepScalars
     sc_phih = info.phih
+    sc_t = SweepScalars(dr=jnp.float32(dr), rate_scale=jnp.float32(1.0),
+                        lls_coldens=jnp.float32(0.0),
+                        rmax2_cells=jnp.float32(0.0))
+    tail_args = (jnp.float32(dt), ndens, state.xh1, state.xh1, state.xh1,
+                 sc_phih, None, state.temper_current, state.temper_av,
+                 jnp.float32(1.0), jnp.float32(0.0), sc_t,
+                 jnp.float32(0.0), jnp.float32(0.0))
+    _jax.block_until_ready(solver._tail(*tail_args, with_stats=True))
     t0 = time.time()
-    chem = solver._chem(jnp.float32(dt), ndens, state.xh1, state.xh1,
-                        state.xh1, sc_phih, None,
-                        state.temper_current, state.temper_av,
-                        jnp.float32(1.0), jnp.float32(0.0),
-                        jnp.zeros((), jnp.float32))
-    _jax.block_until_ready(chem)
+    _jax.block_until_ready(solver._tail(*tail_args, with_stats=True))
     chem_ms = (time.time() - t0) * 1e3
     t0 = time.time()
     c = solver._counts(ndens, state.xh1, state.temper_av, jnp.float32(1.0))
@@ -128,7 +133,7 @@ def full_step_bench(args):
           f"steps={args.iters} total_iters={total_iters} "
           f"step={elapsed/args.iters*1e3:.0f} ms "
           f"per_conv_iter={per_iter*1e3:.1f} ms "
-          f"chem_pass={chem_ms:.1f} ms counts={counts_ms:.1f} ms "
+          f"fused_tail={chem_ms:.1f} ms counts={counts_ms:.1f} ms "
           f"compile+first_step={compile_s:.1f}s "
           f"mean_x={info.mean_xh1:.4f} "
           f"platform={jax.devices()[0].platform} backend={backend}",
