@@ -817,6 +817,92 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
                       max_shell, row_ci=row_ci, nflux_xray=nflux_xray)
 
 
+def windowed_prepass(cfg: RunConfig, ndens: jax.Array, xh_av1: jax.Array,
+                     lls_grid: Optional[jax.Array], radius: int):
+    """Amortized per-call setup of the windowed sweep: the neutral-density
+    field and its r-wide periodic pad (plus the LLS grid's, type-2 LLS).
+    A window of half-width `radius` at grid position q is then the
+    contiguous (2r+1)^3 slice of the padded field with corner q."""
+    ndhi = neutral_density(cfg, ndens, xh_av1)
+    ndhi_pad = jnp.pad(ndhi, radius, mode="wrap")
+    lls_pad = (jnp.pad(lls_grid, radius, mode="wrap")
+               if lls_grid is not None else None)
+    return ndhi_pad, lls_pad
+
+
+def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
+                   lls_pad: Optional[jax.Array], pos: jax.Array,
+                   nf: jax.Array, nfx: Optional[jax.Array],
+                   sc: SweepScalars, radius: int,
+                   acc: jax.Array, heat_acc: jax.Array):
+    """Sweep ONE fixed-size batch of (2r+1)^3 windows and scatter-add the
+    rates into the grid accumulators.
+
+    This is the windowed sweep's unit of compiled work: its shape depends
+    only on (radius, batch size) — never on how many sources currently
+    occupy an adaptive-radius bucket — so the convergence loop's subbox
+    promotions (evolve_source.F90:128-212) re-bucket sources without
+    triggering recompiles (measured ~10 s per new bucket capacity on the
+    remote-compile stack; BENCH_HISTORY round 3).
+
+    pos is in grid coords; ndhi_pad/lls_pad come from windowed_prepass.
+    Zero-flux entries pad partial batches and contribute exactly zero.
+    Returns (acc, heat_acc, photon_loss_sum, lls_loss_sum, per_window_loss).
+    """
+    n = cfg.mesh[0]
+    r = int(radius)
+    p = 2 * r + 1
+    cfgw = cfg.replace(mesh=(p, p, p))
+    have_x = nfx is not None
+    if not have_x:
+        nfx = jnp.zeros_like(nf)
+    use_pallas = False
+    if cfg.sweep_backend == "pallas":
+        from .sweep_pallas import compute_columns_pallas, \
+            pallas_sweep_available
+        use_pallas = pallas_sweep_available(cfgw, lls_pad)
+
+    def window_of(field_pad, q):
+        return lax.dynamic_slice(field_pad, (q[0], q[1], q[2]), (p, p, p))
+
+    wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
+    lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
+             if lls_pad is not None else None)
+    lax_ax = 0 if lls_pad is not None else None
+
+    def rate_one(cdo, win, lwin, f, fx):
+        return _rate_pass(cfgw, tables, cdo, win, f, sc, lwin, r,
+                          nflux_xray=fx if have_x else None)
+
+    if use_pallas:
+        cdo_b = compute_columns_pallas(cfgw, wins, sc, r, lls_cb=lwins)
+        res = jax.vmap(rate_one, in_axes=(0, 0, lax_ax, 0, 0))(
+            cdo_b, wins, lwins, nf, nfx)
+    else:
+        def sweep_one(win, lwin, f, fx):
+            return sweep_single_source(
+                cfgw, tables, win, f, sc, lls_c=lwin, max_shell=r,
+                nflux_xray=fx if have_x else None)
+
+        res = jax.vmap(sweep_one, in_axes=(0, lax_ax, 0, 0))(
+            wins, lwins, nf, nfx)
+
+    # one scatter-add per batch: windows may overlap each other and
+    # the periodic boundary, so indices are mod-n and duplicates sum
+    ar = jnp.arange(p, dtype=jnp.int32)
+    ix = (pos[:, 0, None] - r + ar[None, :]) % n      # (b, p)
+    iy = (pos[:, 1, None] - r + ar[None, :]) % n
+    iz = (pos[:, 2, None] - r + ar[None, :]) % n
+    idx = (ix[:, :, None, None], iy[:, None, :, None],
+           iz[:, None, None, :])
+    acc = acc.at[idx].add(res.phih, mode="promise_in_bounds")
+    if not cfg.isothermal:
+        heat_acc = heat_acc.at[idx].add(res.phiheat,
+                                        mode="promise_in_bounds")
+    return (acc, heat_acc, jnp.sum(res.photon_loss),
+            jnp.sum(res.lls_loss), res.photon_loss)
+
+
 def raytrace_windowed(cfg: RunConfig, tables: RadTables,
                       ndens: jax.Array, xh_av1: jax.Array,
                       srcpos: jax.Array, nflux: jax.Array,
@@ -853,13 +939,9 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     r = int(radius)
     p = 2 * r + 1
     assert p <= n, "window must fit in the grid; use the full sweep"
-    cfgw = cfg.replace(mesh=(p, p, p))
     dtype = ndens.dtype
 
-    ndhi = neutral_density(cfg, ndens, xh_av1)
-    ndhi_pad = jnp.pad(ndhi, r, mode="wrap")
-    lls_pad = (jnp.pad(lls_grid, r, mode="wrap")
-               if lls_grid is not None else None)
+    ndhi_pad, lls_pad = windowed_prepass(cfg, ndens, xh_av1, lls_grid, r)
 
     s = int(srcpos.shape[0])
     b = max(1, min(cfg.source_batch, s))
@@ -877,58 +959,13 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     nflux_b = nflux.reshape(nbatch, b)
     nfx_b = nflux_xray.reshape(nbatch, b)
 
-    # the whole-sweep Pallas kernel collapses the r-shell march to a
-    # single op per batch - decisive on this op-latency-bound stack
-    use_pallas = False
-    if cfg.sweep_backend == "pallas":
-        from .sweep_pallas import compute_columns_pallas, \
-            pallas_sweep_available
-        use_pallas = pallas_sweep_available(cfgw, lls_grid)
-
-    def window_of(field_pad, pos):
-        # window corner in padded coords is exactly the source position
-        return lax.dynamic_slice(field_pad, (pos[0], pos[1], pos[2]),
-                                 (p, p, p))
-
-    def rate_one(cdo, win, lwin, nf, nfx):
-        return _rate_pass(cfgw, tables, cdo, win, nf, sc, lwin, r,
-                          nflux_xray=nfx if have_x else None)
-
-    ar = jnp.arange(p, dtype=jnp.int32)
-
     def one_batch(carry, inp):
         acc, heat_acc, loss_t, lls_t = carry
         pos, nf, nfx = inp
-        wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
-        lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
-                 if lls_pad is not None else None)
-        lax_ax = 0 if lls_pad is not None else None
-        if use_pallas:
-            cdo_b = compute_columns_pallas(cfgw, wins, sc, r, lls_cb=lwins)
-            res = jax.vmap(rate_one, in_axes=(0, 0, lax_ax, 0, 0))(
-                cdo_b, wins, lwins, nf, nfx)
-        else:
-            def sweep_one(win, lwin, f, fx):
-                return sweep_single_source(
-                    cfgw, tables, win, f, sc, lls_c=lwin, max_shell=r,
-                    nflux_xray=fx if have_x else None)
-
-            res = jax.vmap(sweep_one, in_axes=(0, lax_ax, 0, 0))(
-                wins, lwins, nf, nfx)
-
-        # one scatter-add per batch: windows may overlap each other and
-        # the periodic boundary, so indices are mod-n and duplicates sum
-        ix = (pos[:, 0, None] - r + ar[None, :]) % n      # (b, p)
-        iy = (pos[:, 1, None] - r + ar[None, :]) % n
-        iz = (pos[:, 2, None] - r + ar[None, :]) % n
-        idx = (ix[:, :, None, None], iy[:, None, :, None],
-               iz[:, None, None, :])
-        acc = acc.at[idx].add(res.phih, mode="promise_in_bounds")
-        if not cfg.isothermal:
-            heat_acc = heat_acc.at[idx].add(res.phiheat,
-                                            mode="promise_in_bounds")
-        return (acc, heat_acc, loss_t + jnp.sum(res.photon_loss),
-                lls_t + jnp.sum(res.lls_loss)), res.photon_loss
+        acc, heat_acc, lo, ll, per_win = windowed_batch(
+            cfg, tables, ndhi_pad, lls_pad, pos, nf,
+            nfx if have_x else None, sc, r, acc, heat_acc)
+        return (acc, heat_acc, loss_t + lo, lls_t + ll), per_win
 
     zero3 = jnp.zeros((n, n, n), dtype)
     heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
@@ -988,7 +1025,14 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
                                  nflux_xray=nflux_xray)
 
     s = srcpos.shape[0]
-    b = max(1, min(cfg.source_batch, s))
+    # memory cap: the full-cube path stages (b, N, N, N) source-centered
+    # fields (~3 live copies incl. the face-major staging); bound the
+    # batch so the staging working set stays ~<3 GiB regardless of how
+    # many sources a caller passes (a promotion to the full-radius rung
+    # can deliver thousands)
+    b_mem = max(1, (1 << 30) // (n * n * n * (4 if dtype == jnp.float32
+                                              else 8)))
+    b = max(1, min(cfg.source_batch, s, b_mem))
     nbatch = -(-s // b)
     pad = nbatch * b - s
     have_x = nflux_xray is not None

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from .config import RunConfig
 from .ops.chemistry import global_chemistry
 from .ops.photonstats import GridCounts, PhotonStatistics, grid_counts
-from .ops.sweep import SweepScalars, raytrace_all_sources
+from .ops.sweep import SweepScalars, raytrace_all_sources, \
+    windowed_batch, windowed_prepass
 from .ops.tables import RadTables
 from .ops.thermal import CoolingTable
 from .state import GridState
@@ -55,6 +56,8 @@ class Evolve3D:
         self.cfg = cfg
         self.tables = tables
         self.cool = cool
+        self._custom_raytracer = raytracer is not None
+        self._wchunk_cache = {}     # radius -> (prepass, chunk) jit fns
         rt = raytracer if raytracer is not None else raytrace_all_sources
 
         @jax.jit
@@ -221,19 +224,60 @@ class Evolve3D:
         assign = np.searchsorted(np.asarray(ladder), cells)
         return np.minimum(assign, len(ladder) - 1).astype(np.int64)
 
+    def _window_chunk_size(self, radius: int) -> int:
+        """Fixed batch size for one windowed-chunk program at this rung:
+        scaled so every chunk carries ~source_batch x 17^3 window cells
+        (the measured index-throughput plateau at r=8; BENCH_HISTORY
+        round-2 batch-size study), pow2-floored for shape stability."""
+        sb = max(1, self.cfg.source_batch)
+        c = int(sb * (17 ** 3) / (2 * radius + 1) ** 3)
+        c = max(4, min(sb, c))
+        return 1 << (c.bit_length() - 1)
+
+    def _full_chunk_size(self) -> int:
+        """Fixed per-call source count for the full-radius rung (the
+        full-cube sweep path), bounded by its staging memory cap."""
+        n = self.cfg.mesh[0]
+        itemsize = 4 if self.cfg.jnp_dtype == jnp.float32 else 8
+        b_mem = max(1, (1 << 30) // (n * n * n * itemsize))
+        c = max(1, min(self.cfg.source_batch, b_mem))
+        return 1 << (c.bit_length() - 1)
+
+    def _windowed_fns(self, radius: int):
+        """Jitted (prepass, chunk) programs for one windowed rung —
+        cached per radius, so subbox promotions re-bucket sources without
+        recompiling anything (program shapes depend only on the rung)."""
+        fns = self._wchunk_cache.get(radius)
+        if fns is None:
+            cfg, tables = self.cfg, self.tables
+
+            def prepass(ndens, xh_av1, lls_grid):
+                return windowed_prepass(cfg, ndens, xh_av1, lls_grid,
+                                        radius)
+
+            def chunk(ndhi_pad, lls_pad, pos, nf, nfx, sc, acc, heat_acc):
+                return windowed_batch(cfg, tables, ndhi_pad, lls_pad, pos,
+                                      nf, nfx, sc, radius, acc, heat_acc)
+
+            fns = (jax.jit(prepass), jax.jit(chunk, donate_argnums=(6, 7)))
+            self._wchunk_cache[radius] = fns
+        return fns
+
     def _adaptive_sweep(self, ndens, xh_av, srcpos_np, nflux_np, srcpos,
                         nflux, sc, lls_grid, assign, nfx_np=None):
         """Sweep sources grouped by their assigned radius (the TPU
         analogue of the reference's subbox growth loop,
         evolve_source.F90:128-212).
 
-        Buckets below the full-grid radius run through the windowed sweep
-        (ops.sweep.raytrace_windowed) so their cost scales with sum(r^3).
-        NO host syncs happen here: the loss scalars come back as device
-        values and the per-source losses as a `pending` list of
-        (bucket indices, device array) pairs — the caller folds them into
-        its single per-iteration fetch and applies the promotion rule
-        afterwards (`_promote`)."""
+        Buckets below the full-grid radius run through fixed-shape
+        windowed-chunk programs (ops.sweep.windowed_batch) so their cost
+        scales with sum(r^3) AND the compiled-program set depends only on
+        the rung ladder — promotions re-bucket sources without
+        recompiles.  NO host syncs happen here: the loss scalars come
+        back as device values and the per-source losses as a `pending`
+        list of (bucket indices, device array) pairs — the caller folds
+        them into its single per-iteration fetch and applies the
+        promotion rule afterwards (`_promote`)."""
         cfg = self.cfg
         dtype = cfg.jnp_dtype
         n = cfg.mesh[0]
@@ -244,31 +288,97 @@ class Evolve3D:
         loss = jnp.zeros((), dtype)
         lls_loss = jnp.zeros((), dtype)
         pending = []   # (idx, device per-source losses) — synced by caller
+        have_x = nfx_np is not None
         for b, radius in enumerate(ladder):
             idx = np.where(assign == b)[0]
             if len(idx) == 0:
                 continue
-            cap = 1 << (len(idx) - 1).bit_length()   # pad to pow2 capacity
-            pos_p = np.zeros((cap, 3), np.int32)
-            flux_p = np.zeros(cap)
-            pos_p[:len(idx)] = srcpos_np[idx]
-            flux_p[:len(idx)] = nflux_np[idx]
-            if nfx_np is not None:
-                fx_p = np.zeros(cap)
-                fx_p[:len(idx)] = nfx_np[idx]
-                fx_p = jnp.asarray(fx_p, dtype)
+            windowed = (not self._custom_raytracer and cfg.window_sweep
+                        and 2 * radius + 1 <= n - 1)
+            if self._custom_raytracer:
+                # injected (sharded) raytracer: single call per bucket at
+                # pow2 capacity — the raytracer owns source distribution
+                # (parallel/source_shard.py shards + psums internally)
+                cap = 1 << (len(idx) - 1).bit_length()
+                pos_p = np.zeros((cap, 3), np.int32)
+                flux_p = np.zeros(cap)
+                pos_p[:len(idx)] = srcpos_np[idx]
+                flux_p[:len(idx)] = nflux_np[idx]
+                if have_x:
+                    fx_p = np.zeros(cap)
+                    fx_p[:len(idx)] = nfx_np[idx]
+                    fx_p = jnp.asarray(fx_p, dtype)
+                else:
+                    fx_p = None
+                ph, he, lo, ll, ps = self._sweep_r(
+                    ndens, xh_av, jnp.asarray(pos_p),
+                    jnp.asarray(flux_p, dtype), sc, lls_grid, fx_p,
+                    max_shell=radius)
+                phih = phih + ph
+                if not cfg.isothermal:
+                    heat = heat + he
+                loss = loss + lo
+                lls_loss = lls_loss + ll
+                pending.append((idx, ps))
+            elif windowed:
+                prepass, chunk_fn = self._windowed_fns(radius)
+                ndhi_pad, lls_pad = prepass(ndens, xh_av, lls_grid)
+                chunk = self._window_chunk_size(radius)
+                nchunk = -(-len(idx) // chunk)
+                pos_p = np.zeros((nchunk * chunk, 3), np.int32)
+                flux_p = np.zeros(nchunk * chunk)
+                pos_p[:len(idx)] = srcpos_np[idx]
+                flux_p[:len(idx)] = nflux_np[idx]
+                fx_p = np.zeros(nchunk * chunk)
+                if have_x:
+                    fx_p[:len(idx)] = nfx_np[idx]
+                pos_p = jnp.asarray(pos_p)
+                flux_p = jnp.asarray(flux_p, dtype)
+                fx_p = jnp.asarray(fx_p, dtype) if have_x else None
+                parts = []
+                for ci in range(nchunk):
+                    sl = slice(ci * chunk, (ci + 1) * chunk)
+                    phih, heat, lo, ll, ps = chunk_fn(
+                        ndhi_pad, lls_pad, pos_p[sl], flux_p[sl],
+                        fx_p[sl] if have_x else None, sc, phih, heat)
+                    loss = loss + lo
+                    lls_loss = lls_loss + ll
+                    parts.append(ps)
+                ps_all = (jnp.concatenate(parts) if len(parts) > 1
+                          else parts[0])
+                pending.append((idx, ps_all))
             else:
-                fx_p = None
-            ph, he, lo, ll, ps = self._sweep_r(
-                ndens, xh_av, jnp.asarray(pos_p),
-                jnp.asarray(flux_p, dtype), sc, lls_grid, fx_p,
-                max_shell=radius)
-            phih = phih + ph
-            if not cfg.isothermal:
-                heat = heat + he
-            loss = loss + lo
-            lls_loss = lls_loss + ll
-            pending.append((idx, ps))
+                # full-cube rung: fixed-capacity chunks through the
+                # batched full sweep (shape-stable for the same reason)
+                chunk = self._full_chunk_size()
+                nchunk = -(-len(idx) // chunk)
+                cap = nchunk * chunk
+                pos_p = np.zeros((cap, 3), np.int32)
+                flux_p = np.zeros(cap)
+                pos_p[:len(idx)] = srcpos_np[idx]
+                flux_p[:len(idx)] = nflux_np[idx]
+                if have_x:
+                    fx_full = np.zeros(cap)
+                    fx_full[:len(idx)] = nfx_np[idx]
+                pos_p = jnp.asarray(pos_p)
+                flux_p = jnp.asarray(flux_p, dtype)
+                parts = []
+                for ci in range(nchunk):
+                    sl = slice(ci * chunk, (ci + 1) * chunk)
+                    fx_c = (jnp.asarray(fx_full[sl], dtype) if have_x
+                            else None)
+                    ph, he, lo, ll, ps = self._sweep_r(
+                        ndens, xh_av, pos_p[sl], flux_p[sl], sc,
+                        lls_grid, fx_c, max_shell=radius)
+                    phih = phih + ph
+                    if not cfg.isothermal:
+                        heat = heat + he
+                    loss = loss + lo
+                    lls_loss = lls_loss + ll
+                    parts.append(ps)
+                ps_all = (jnp.concatenate(parts) if len(parts) > 1
+                          else parts[0])
+                pending.append((idx, ps_all))
         return phih, heat, loss, lls_loss, pending
 
     def _promote(self, per_src, nflux_np, assign):

@@ -1,0 +1,153 @@
+"""Per-phase timing of the full-radius pallas sweep pass on hardware.
+
+Splits raytrace_all_sources' pallas path (ops/sweep.py:1037-1066) into
+its pipeline phases and times each as a separate jitted program (warm),
+so the ~78 ms of non-march time in the 182.7 ms sweep pass
+(BENCH_HISTORY round-3 fusion entry) can be attributed:
+
+  1. neutral density + wrap-pad + per-source centering slices
+  2. face-major staging (_stage_faces_patch)
+  3. the pallas shell march (compute_columns_pallas)
+  4. rate pass (_rate_pass: columns -> photoionization rates)
+  5. grid-frame rolls + batch-sum accumulation (_to_grid)
+
+Phase sums exceed the fused pass (each boundary materializes to HBM),
+but the relative weights say where optimization pays.
+
+Usage: python scripts/profile_sweep_phases.py [--mesh 256] [--sources 16]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=256)
+    ap.add_argument("--sources", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import lax
+
+    from c2ray_tpu.config import test_problem_config
+    from c2ray_tpu.ops import sweep as sw
+    from c2ray_tpu.ops.sweep import SweepScalars, _rate_pass, \
+        _stage_faces_patch, _unstage_patch, neutral_density, roll3
+    from c2ray_tpu.ops.sweep_pallas import _march_bucket, _march_ladder
+    from c2ray_tpu.ops.tables import build_rad_tables
+
+    n = args.mesh
+    b = args.sources
+    c = n // 2
+    cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
+                              type_of_lls=1, cosmological=False,
+                              sweep_backend="pallas", source_batch=b)
+    tables = build_rad_tables(cfg)
+    rng = np.random.default_rng(0)
+    srcpos = jnp.asarray(rng.integers(0, n, (b, 3)).astype(np.int32))
+    nflux = jnp.asarray((10.0 ** rng.uniform(6, 9, b)).astype(np.float32))
+    ndens = jnp.full(cfg.mesh, np.float32(1.98e-4))
+    xh = jnp.asarray(rng.uniform(0.3, 0.9, cfg.mesh).astype(np.float32))
+    sc = SweepScalars(dr=jnp.float32(2.9e24 / (n / 64)),
+                      rate_scale=jnp.float32(cfg.sed.s_star),
+                      lls_coldens=jnp.float32(0.0),
+                      rmax2_cells=jnp.float32(0.0))
+    d_sweep = c
+    (d_lo, d_hi, p) = _march_ladder(d_sweep, n)[0]
+    lo = c - (p // 2)
+
+    # --- phase programs --------------------------------------------------
+    @jax.jit
+    def ph_center(ndens, xh, pos_b):
+        ndhi = neutral_density(cfg, ndens, xh)
+        ext = jnp.pad(ndhi, ((0, n - 1),) * 3, mode="wrap")
+
+        def _center(pos):
+            start = (pos - c) % n
+            return lax.dynamic_slice(ext, (start[0], start[1], start[2]),
+                                     (n, n, n))
+        return jax.vmap(_center)(pos_b)
+
+    @jax.jit
+    def ph_stage(ndhi_cb):
+        return jax.vmap(
+            lambda x: _stage_faces_patch(x, d_lo, d_hi, lo, p))(ndhi_cb)
+
+    def ph_march(ndhi_f, cdo0):
+        params = jnp.stack([
+            jnp.broadcast_to(sc.dr, (b,)).astype(jnp.float32),
+            jnp.broadcast_to(sc.lls_coldens, (b,)).astype(jnp.float32),
+            cdo0, jnp.zeros((b,), jnp.float32)], axis=1)
+        seed = jnp.zeros((b, 6, p, p), jnp.float32)
+        seed = seed.at[:, :, p // 2, p // 2].set(cdo0[:, None])
+        return _march_bucket(cfg, params, seed, ndhi_f, None, d_lo, p)
+
+    ph_march = jax.jit(ph_march)
+
+    @jax.jit
+    def ph_unstage(planes_b, cdo0):
+        out = jnp.zeros((b, n, n, n), jnp.float32)
+        out = jax.vmap(
+            lambda o, pb: _unstage_patch(o, pb, n, d_lo, lo, p))(
+            out, planes_b)
+        ar = jnp.arange(b)
+        return out.at[ar, c, c, c].set(cdo0)
+
+    @jax.jit
+    def ph_rate(cdo_b, ndhi_cb, nflux):
+        return jax.vmap(lambda cdo, x, f: _rate_pass(
+            cfg, tables, cdo, x, f, sc, jnp.float32(0.0), d_sweep))(
+            cdo_b, ndhi_cb, nflux)
+
+    @jax.jit
+    def ph_roll(phih_b, pos_b):
+        ph = jax.vmap(lambda f, pos: roll3(f, pos - c))(phih_b, pos_b)
+        return jnp.sum(ph, axis=0)
+
+    # --- run -------------------------------------------------------------
+    ndhi_cb = ph_center(ndens, xh, srcpos)
+    cdo0 = ndhi_cb[:, c, c, c] * (0.5 * sc.dr)
+    ndhi_f = ph_stage(ndhi_cb)
+    planes = ph_march(ndhi_f, cdo0)
+    cdo_b = ph_unstage(planes, cdo0)
+    res = ph_rate(cdo_b, ndhi_cb, nflux)
+    acc = ph_roll(res.phih, srcpos)
+    jax.block_until_ready(acc)
+
+    def timed(name, fn, *xs):
+        jax.block_until_ready(fn(*xs))
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = fn(*xs)
+        jax.block_until_ready(r)
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(f"  {name:34s} {ms:8.1f} ms")
+        return ms
+
+    print(f"sweep phases  mesh={n}^3  sources={b}  "
+          f"platform={jax.devices()[0].platform}")
+    tot = 0.0
+    tot += timed("center (ndhi+pad+slices)", ph_center, ndens, xh, srcpos)
+    tot += timed("stage faces", ph_stage, ndhi_cb)
+    tot += timed("pallas march", ph_march, ndhi_f, cdo0)
+    tot += timed("unstage patch", ph_unstage, planes, cdo0)
+    tot += timed("rate pass", ph_rate, cdo_b, ndhi_cb, nflux)
+    tot += timed("grid rolls + batch sum", ph_roll, res.phih, srcpos)
+    print(f"  {'SUM (separate programs)':34s} {tot:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
