@@ -55,12 +55,10 @@ def test_pallas_patch_march_matches_xla():
     _march_case(48, 13)
 
 
-def test_pallas_multishell_steps_match_xla(monkeypatch):
-    """k>1 shells per grid step (incl. the non-divisible 13 % 4 shell
-    padding) stays bitwise-equal."""
-    from c2ray_tpu.ops import sweep_pallas
-    monkeypatch.setattr(sweep_pallas, "MARCH_K_CAP", 4)
-    _march_case(48, 13, seed=13)
+def test_pallas_even_radius_patch_matches_xla():
+    """A second (even-radius) capped sweep pins the clamped edge-plane
+    index maps that replaced the old staging's edge padding."""
+    _march_case(48, 12, seed=13)
 
 
 def test_pallas_multi_bucket_ladder_matches_xla(monkeypatch):
