@@ -57,7 +57,7 @@ from jax import lax
 
 from .. import constants as const
 from ..config import RunConfig
-from .tables import RadTables, photoion_rates
+from .tables import RadTables, photoion_rates, photoion_rates_lls_fused
 
 SQRT2 = float(np.sqrt(2.0))
 SQRT3 = float(np.sqrt(3.0))
@@ -703,8 +703,25 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     if cfg.use_lls and cfg.type_of_lls == 3:
         stop = stop | (dist2 > sc.rmax2_cells)     # evolve_point.F90:191
 
-    phi = photoion_rates(cfg, tables, coldensh_in, cdo, vol_ph, nflux,
-                         nflux_xray=nflux_xray)
+    lls_cell = None
+    if cfg.use_lls and cfg.type_of_lls in (1, 2):
+        # Photons absorbed by the LLS fog: the exact spectral gap between
+        # the pre-LLS and post-LLS incoming columns, tallied inside the
+        # same mixture evaluation as the cell rates (one fused pass; see
+        # photoion_rates_lls_fused).  NOTE: the reference's tally is
+        # broken twice over - it passes its never-assigned photo_in_HI
+        # field (evolve_point.F90:269, radiation_photoionrates.F90:438-452,
+        # so it always adds 0) and its formula is grey-only by its own
+        # comment (photonstatistics.F90:243-247).  This version closes the
+        # photon budget with LLS absorption enabled.
+        lcol = lls_c if lls_c is not None else sc.lls_coldens
+        cold_pre = jnp.maximum(coldensh_in - lcol * path, 0.0)
+        phi, lls_cell = photoion_rates_lls_fused(
+            cfg, tables, coldensh_in, cdo, vol_ph, nflux, cold_pre,
+            nflux_xray=nflux_xray)
+    else:
+        phi = photoion_rates(cfg, tables, coldensh_in, cdo, vol_ph, nflux,
+                             nflux_xray=nflux_xray)
     live = active & ~stop
     gamma = jnp.where(live, phi.photo_cell * sc.rate_scale / ndhi_c, 0.0)
     heat = (jnp.where(live, phi.heat, 0.0) * sc.rate_scale
@@ -718,22 +735,10 @@ def _rate_pass(cfg: RunConfig, tables: RadTables, cdo, ndhi_c,
     loss = jnp.sum(jnp.where(live & bnd, phi.photo_out / vol_ph, 0.0))
 
     lls_loss = jnp.zeros((), dtype)
-    if cfg.use_lls and cfg.type_of_lls in (1, 2):
-        lcol = lls_c if lls_c is not None else sc.lls_coldens
-        # Photons absorbed by the LLS fog: the exact spectral gap between
-        # the pre-LLS and post-LLS incoming columns (evaluated with the
-        # same photon-conserving machinery).  NOTE: the reference's tally
-        # is broken twice over - it passes its never-assigned photo_in_HI
-        # field (evolve_point.F90:269, radiation_photoionrates.F90:438-452,
-        # so it always adds 0) and its formula is grey-only by its own
-        # comment (photonstatistics.F90:243-247).  This version closes the
-        # photon budget with LLS absorption enabled.
-        cold_pre = jnp.maximum(coldensh_in - lcol * path, 0.0)
-        phi_lls = photoion_rates(cfg, tables, cold_pre, coldensh_in,
-                                 vol_ph, nflux, nflux_xray=nflux_xray)
-        # rate * vol/vol_ph with vol = 1 cell: photo_cell already carries
+    if lls_cell is not None:
+        # rate * vol/vol_ph with vol = 1 cell: lls_cell already carries
         # the /vol_ph factor
-        lls_loss = jnp.sum(jnp.where(live, phi_lls.photo_cell, 0.0))
+        lls_loss = jnp.sum(jnp.where(live, lls_cell, 0.0))
 
     return SweepResult(gamma, heat, loss, lls_loss, cdo)
 

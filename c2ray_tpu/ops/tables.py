@@ -296,6 +296,14 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
         heat_exp_w = _fit_heat_weights(exp_a, heat_wq, ahat)
     else:
         heat_exp_w = np.zeros_like(exp_w)
+    # NNLS zeroes a good fraction of the K requested weights; drop terms
+    # with no photo AND no heat weight before shipping to the device - a
+    # zero-weight term contributes exactly 0.0 (bitwise-identical rates)
+    # but still costs its exponentials in the unrolled mixture loop
+    # (measured: 10 of 16 terms live for the test-problem blackbody).
+    keep = (exp_w > 0) | (heat_exp_w > 0)
+    if keep.any():
+        exp_a, exp_w, heat_exp_w = exp_a[keep], exp_w[keep], heat_exp_w[keep]
     if sed.use_xray_sed:
         xahat = (xfreq / xfreq[0]) ** (-cfg.pl_index_cross_section_hi)
         xwq = romberg_weights(n) * xh * xsed
@@ -305,6 +313,10 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
                 xexp_a, xwq * const.HPLANCK * (xfreq - const.ION_FREQ_HI), xahat)
         else:
             xheat_exp_w = np.zeros_like(xexp_w)
+        xkeep = (xexp_w > 0) | (xheat_exp_w > 0)
+        if xkeep.any():
+            xexp_a, xexp_w, xheat_exp_w = (xexp_a[xkeep], xexp_w[xkeep],
+                                           xheat_exp_w[xkeep])
     else:
         xexp_a, xexp_w = exp_a, np.zeros_like(exp_w)
         xheat_exp_w = np.zeros_like(exp_w)
@@ -367,6 +379,64 @@ class PhotoRates(NamedTuple):
     heat: jax.Array         # heating rate of the cell / vol_ph
 
 
+def _photoion_expsum_impl(cfg: RunConfig, tables: RadTables,
+                          coldens_in: jax.Array, coldens_out: jax.Array,
+                          vol_ph: jax.Array, nflux: jax.Array,
+                          nflux_xray: Optional[jax.Array],
+                          coldens_pre: Optional[jax.Array]):
+    """Exponential-mixture rates, optionally with the fused LLS-absorption
+    tally (see photoion_rates_lls_fused).  Returns (PhotoRates, lls_cell)."""
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    tau_in = coldens_in * sigma
+    dtau = (coldens_out - coldens_in) * sigma
+    dtau_pre = ((coldens_in - coldens_pre) * sigma
+                if coldens_pre is not None else None)
+
+    def one_source(a, w, hw, nf):
+        # Unrolled accumulation over the K mixture terms: keeps every
+        # intermediate at the cell-array shape (a broadcast over K would
+        # materialize a K-times-larger temporary at 256^3 scales).
+        k = a.shape[0]
+        phi_in = jnp.zeros_like(tau_in)
+        phi_cell = jnp.zeros_like(tau_in)
+        heat_acc = jnp.zeros_like(tau_in) if not cfg.isothermal else None
+        lls_acc = jnp.zeros_like(tau_in) if dtau_pre is not None else None
+        for i in range(k):
+            att = jnp.exp(-jnp.minimum(a[i] * tau_in, 80.0))
+            absorb = att * -jnp.expm1(-jnp.minimum(a[i] * dtau, 80.0))
+            phi_in = phi_in + w[i] * att
+            phi_cell = phi_cell + w[i] * absorb
+            if heat_acc is not None:
+                heat_acc = heat_acc + hw[i] * absorb
+            if lls_acc is not None:
+                # att(tau_pre) - att(tau_in) = att_in * expm1(a*dtau_pre):
+                # reuses the att term above (one transcendental per term
+                # instead of a second full mixture evaluation) and is
+                # cancellation-free for small LLS columns
+                lls_acc = lls_acc + (w[i] * att) * jnp.expm1(
+                    jnp.minimum(a[i] * dtau_pre, 80.0))
+        phi_in = nf * phi_in
+        phi_cell = nf * phi_cell
+        phi_out = phi_in - phi_cell
+        photo_cell = phi_cell / vol_ph
+        if cfg.isothermal:
+            heat = jnp.zeros_like(photo_cell)
+        else:
+            heat = nf * heat_acc / vol_ph
+        lls_cell = (nf * lls_acc / vol_ph if lls_acc is not None else None)
+        return photo_cell, phi_in, phi_out, heat, lls_cell
+
+    pc, pi, po, he, lc = one_source(tables.exp_a, tables.exp_w,
+                                    tables.heat_exp_w, nflux)
+    if cfg.sed.use_xray_sed and nflux_xray is not None:
+        pc2, pi2, po2, he2, lc2 = one_source(
+            tables.xray_exp_a, tables.xray_exp_w,
+            tables.xray_heat_exp_w, nflux_xray)
+        pc, pi, po, he = pc + pc2, pi + pi2, po + po2, he + he2
+        lc = lc + lc2 if lc is not None else None
+    return PhotoRates(pc, pi, po, he), lc
+
+
 def photoion_rates_expsum(cfg: RunConfig, tables: RadTables,
                           coldens_in: jax.Array, coldens_out: jax.Array,
                           vol_ph: jax.Array, nflux: jax.Array,
@@ -377,42 +447,39 @@ def photoion_rates_expsum(cfg: RunConfig, tables: RadTables,
     thick-table difference of the mixture, stable in float32 for any dtau
     (no thin/thick branch needed) and exactly telescoping along rays.
     """
-    sigma = const.SIGMA_HI_AT_ION_FREQ
-    tau_in = coldens_in * sigma
-    dtau = (coldens_out - coldens_in) * sigma
+    rates, _ = _photoion_expsum_impl(cfg, tables, coldens_in, coldens_out,
+                                     vol_ph, nflux, nflux_xray, None)
+    return rates
 
-    def one_source(a, w, hw, nf):
-        # Unrolled accumulation over the K mixture terms: keeps every
-        # intermediate at the cell-array shape (a broadcast over K would
-        # materialize a K-times-larger temporary at 256^3 scales).
-        k = a.shape[0]
-        phi_in = jnp.zeros_like(tau_in)
-        phi_cell = jnp.zeros_like(tau_in)
-        heat_acc = jnp.zeros_like(tau_in) if not cfg.isothermal else None
-        for i in range(k):
-            att = jnp.exp(-jnp.minimum(a[i] * tau_in, 80.0))
-            absorb = att * -jnp.expm1(-jnp.minimum(a[i] * dtau, 80.0))
-            phi_in = phi_in + w[i] * att
-            phi_cell = phi_cell + w[i] * absorb
-            if heat_acc is not None:
-                heat_acc = heat_acc + hw[i] * absorb
-        phi_in = nf * phi_in
-        phi_cell = nf * phi_cell
-        phi_out = phi_in - phi_cell
-        photo_cell = phi_cell / vol_ph
-        if cfg.isothermal:
-            heat = jnp.zeros_like(photo_cell)
-        else:
-            heat = nf * heat_acc / vol_ph
-        return photo_cell, phi_in, phi_out, heat
 
-    pc, pi, po, he = one_source(tables.exp_a, tables.exp_w,
-                                tables.heat_exp_w, nflux)
-    if cfg.sed.use_xray_sed and nflux_xray is not None:
-        pc2, pi2, po2, he2 = one_source(tables.xray_exp_a, tables.xray_exp_w,
-                                        tables.xray_heat_exp_w, nflux_xray)
-        pc, pi, po, he = pc + pc2, pi + pi2, po + po2, he + he2
-    return PhotoRates(pc, pi, po, he)
+def photoion_rates_lls_fused(cfg: RunConfig, tables: RadTables,
+                             coldens_in: jax.Array, coldens_out: jax.Array,
+                             vol_ph: jax.Array, nflux: jax.Array,
+                             coldens_pre: jax.Array,
+                             nflux_xray: Optional[jax.Array] = None):
+    """Cell rates plus the LLS-absorbed photon tally in one evaluation.
+
+    coldens_pre (<= coldens_in) is the incoming column with the LLS fog's
+    share removed; the tally is the spectral absorption gap
+    sum_k w_k (e^{-a_k tau_pre} - e^{-a_k tau_in}) / vol_ph - exactly what
+    two photoion_rates calls compute (the photonstatistics LLS budget,
+    photonstatistics.F90:243-247), but sharing the mixture attenuation
+    terms of the main evaluation in expsum mode via
+    att_pre - att_in = att_in * expm1(a * dtau_pre) (~25% fewer
+    transcendentals in the sweep's rate fusion).  Table mode falls back
+    to the two-call evaluation unchanged.
+
+    Returns (PhotoRates, lls_cell).
+    """
+    f32 = jnp.result_type(coldens_in) == jnp.float32
+    if cfg.rate_eval == "expsum" or (cfg.rate_eval == "auto" and f32):
+        return _photoion_expsum_impl(cfg, tables, coldens_in, coldens_out,
+                                     vol_ph, nflux, nflux_xray, coldens_pre)
+    phi = photoion_rates(cfg, tables, coldens_in, coldens_out, vol_ph,
+                         nflux, nflux_xray=nflux_xray)
+    phi_lls = photoion_rates(cfg, tables, coldens_pre, coldens_in,
+                             vol_ph, nflux, nflux_xray=nflux_xray)
+    return phi, phi_lls.photo_cell
 
 
 def photoion_rates(cfg: RunConfig, tables: RadTables,
