@@ -78,7 +78,8 @@ def main(argv=None):
     multihost.init_distributed()
 
     from .config import COSMOLOGY_SETS, test_problem_config
-    from .driver import C2RayDriver, DriverConfig, read_input_file
+    from .driver import (C2RayDriver, DriverConfig, read_input_file,
+                         read_input_stdin)
     from .models.nbody import (cubep3m_adapter, gadget_adapter, lg_adapter,
                                pmfast_adapter, test_adapter)
 
@@ -96,6 +97,11 @@ def main(argv=None):
 
     if args.input_file:
         dc = read_input_file(args.input_file, args.nbody)
+    elif not sys.stdin.isatty():
+        # no input file: read the ordered answers from stdin, exactly the
+        # reference's interactive protocol (C2Ray.F90:115-127 falls back
+        # to stdin reads when argv[1] is absent)
+        dc = read_input_stdin(args.nbody)
     else:
         dc = DriverConfig()
     dc.results_dir = args.results_dir

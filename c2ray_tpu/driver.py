@@ -75,6 +75,26 @@ def read_input_file(path: str, nbody_type: str = "test") -> DriverConfig:
             tok = line.split()
             if tok:
                 answers.append(tok[0])
+    return parse_input_answers(answers, nbody_type)
+
+
+def read_input_stdin(nbody_type: str = "test",
+                     stream=None) -> DriverConfig:
+    """Read the ordered answers interactively from stdin (the reference's
+    no-argv path, C2Ray.F90:115-127: list-directed reads consume the
+    answers in sequence).  All whitespace-separated tokens count, so both
+    `echo "n n 1 7 1 1" | ...` and one-answer-per-line piping work."""
+    import sys
+    stream = stream if stream is not None else sys.stdin
+    answers = stream.read().split()
+    if not answers:            # empty pipe (e.g. < /dev/null): defaults
+        return DriverConfig()
+    return parse_input_answers(answers, nbody_type)
+
+
+def parse_input_answers(answers, nbody_type: str = "test") -> DriverConfig:
+    """Consume the ordered answer sequence (shared by the input-file and
+    stdin protocols)."""
     it = iter(answers)
     dc = DriverConfig()
     restart_yn = next(it).lower().startswith("y")
@@ -400,6 +420,7 @@ class C2RayDriver:
                                   if lls.grid is not None else None),
                         cosmo_cool_coeff=cosmo_cool_coeff, stats=self.stats,
                         dumper=self.dumper, iter_restart=iter_restart,
+                        clocks=self.clocks,
                         nflux_xray=(cat.normflux_xray
                                     if cfg.sed.use_xray_sed else None))
                 else:

@@ -172,6 +172,29 @@ def _stage_faces_patch(x: jax.Array, d_lo: int, d_hi: int, lo: int,
     return jnp.stack(slabs, axis=1)
 
 
+def face_ownership_masks(n: int, c: int):
+    """Cell-ownership partition of the shell cube's surface, _FACES order
+    [z+, z-, y+, y-, x+, x-] with z > y > x priority (the octant wedge
+    rules of column_density.f90 reduced to a disjoint partition).
+
+    SHARED between the XLA unstage (_unstage_patch) and the Pallas
+    backend's _unstage_six: the two backends must keep an identical cell
+    partition to stay bitwise-equal."""
+    o = np.arange(n) - c
+    oi = o[:, None, None]
+    oj = o[None, :, None]
+    ok = o[None, None, :]
+    ai, aj, ak = abs(oi), abs(oj), abs(ok)
+    return [
+        (ok > 0) & (ok >= ai) & (ok >= aj),
+        (ok < 0) & (-ok >= ai) & (-ok >= aj),
+        (oj > 0) & (oj >= ai) & (oj > ak),
+        (oj < 0) & (-oj >= ai) & (-oj > ak),
+        (oi > 0) & (oi > aj) & (oi > ak),
+        (oi < 0) & (-oi > aj) & (-oi > ak),
+    ]
+
+
 def _unstage_patch(out: jax.Array, planes: jax.Array, n: int, d_lo: int,
                    lo: int, p: int) -> jax.Array:
     """Merge one bucket's patch planes (nd, 6, p, p), shells d_lo.., into
@@ -181,19 +204,7 @@ def _unstage_patch(out: jax.Array, planes: jax.Array, n: int, d_lo: int,
     pos_max = n - 1 - c
     nd = planes.shape[0]
     d_hi = d_lo + nd - 1
-    o = np.arange(n) - c
-    oi = o[:, None, None]
-    oj = o[None, :, None]
-    ok = o[None, None, :]
-    ai, aj, ak = abs(oi), abs(oj), abs(ok)
-    own = [
-        (ok > 0) & (ok >= ai) & (ok >= aj),
-        (ok < 0) & (-ok >= ai) & (-ok >= aj),
-        (oj > 0) & (oj >= ai) & (oj > ak),
-        (oj < 0) & (-oj >= ai) & (-oj > ak),
-        (oi > 0) & (oi > aj) & (oi > ak),
-        (oi < 0) & (-oi > aj) & (-oi > ak),
-    ]
+    own = face_ownership_masks(n, c)
     for f, (ax, s, _, _) in enumerate(_FACES):
         hi = min(d_hi, pos_max if s > 0 else c)
         if hi < d_lo:

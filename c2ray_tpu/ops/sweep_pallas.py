@@ -188,24 +188,9 @@ def _march_bucket(cfg: RunConfig, params, seed, faces6, lls6,
     )(*inputs)
 
 
-# cell-ownership partition of the shell cube's surface: face order
-# [z+, z-, y+, y-, x+, x-], z > y > x priority (sweep.py _FACES /
-# _unstage_patch; column_density.f90's octant wedge rules)
-def _own_masks(n: int, c: int):
-    import numpy as np
-    o = np.arange(n) - c
-    oi = o[:, None, None]
-    oj = o[None, :, None]
-    ok = o[None, None, :]
-    ai, aj, ak = abs(oi), abs(oj), abs(ok)
-    return [
-        (ok > 0) & (ok >= ai) & (ok >= aj),
-        (ok < 0) & (-ok >= ai) & (-ok >= aj),
-        (oj > 0) & (oj >= ai) & (oj > ak),
-        (oj < 0) & (-oj >= ai) & (-oj > ak),
-        (oi > 0) & (oi > aj) & (oi > ak),
-        (oi < 0) & (-oi > aj) & (-oi > ak),
-    ]
+# cell-ownership partition shared with the XLA backend (sweep.py
+# face_ownership_masks): both backends must keep an identical partition
+from .sweep import face_ownership_masks as _own_masks  # noqa: E402
 
 
 def _unstage_six(out: jax.Array, faces, n: int, d_lo: int,

@@ -301,7 +301,7 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
     # zero-weight term contributes exactly 0.0 (bitwise-identical rates)
     # but still costs its exponentials in the unrolled mixture loop
     # (measured: 10 of 16 terms live for the test-problem blackbody).
-    keep = (exp_w > 0) | (heat_exp_w > 0)
+    keep = (exp_w != 0) | (heat_exp_w != 0)
     if keep.any():
         exp_a, exp_w, heat_exp_w = exp_a[keep], exp_w[keep], heat_exp_w[keep]
     if sed.use_xray_sed:
@@ -313,7 +313,7 @@ def build_rad_tables(cfg: RunConfig) -> RadTables:
                 xexp_a, xwq * const.HPLANCK * (xfreq - const.ION_FREQ_HI), xahat)
         else:
             xheat_exp_w = np.zeros_like(xexp_w)
-        xkeep = (xexp_w > 0) | (xheat_exp_w > 0)
+        xkeep = (xexp_w != 0) | (xheat_exp_w != 0)
         if xkeep.any():
             xexp_a, xexp_w, xheat_exp_w = (xexp_a[xkeep], xexp_w[xkeep],
                                            xheat_exp_w[xkeep])
@@ -389,8 +389,11 @@ def _photoion_expsum_impl(cfg: RunConfig, tables: RadTables,
     sigma = const.SIGMA_HI_AT_ION_FREQ
     tau_in = coldens_in * sigma
     dtau = (coldens_out - coldens_in) * sigma
-    dtau_pre = ((coldens_in - coldens_pre) * sigma
-                if coldens_pre is not None else None)
+    if coldens_pre is not None:
+        tau_pre = coldens_pre * sigma
+        dtau_pre = (coldens_in - coldens_pre) * sigma
+    else:
+        tau_pre = dtau_pre = None
 
     def one_source(a, w, hw, nf):
         # Unrolled accumulation over the K mixture terms: keeps every
@@ -409,12 +412,15 @@ def _photoion_expsum_impl(cfg: RunConfig, tables: RadTables,
             if heat_acc is not None:
                 heat_acc = heat_acc + hw[i] * absorb
             if lls_acc is not None:
-                # att(tau_pre) - att(tau_in) = att_in * expm1(a*dtau_pre):
-                # reuses the att term above (one transcendental per term
-                # instead of a second full mixture evaluation) and is
-                # cancellation-free for small LLS columns
-                lls_acc = lls_acc + (w[i] * att) * jnp.expm1(
-                    jnp.minimum(a[i] * dtau_pre, 80.0))
+                # att(tau_pre) - att(tau_in), in the cancellation-free
+                # absorb form att_pre * -expm1(-a*dtau_pre).  tau_pre
+                # gets its OWN 80-clamp: clamping only tau_in would make
+                # a thick incoming column (a*tau_in > 80 > a*tau_pre)
+                # evaluate to ~1 instead of ~exp(-a*tau_pre), matching
+                # the two-call expsum tally's per-argument clamps
+                att_pre = jnp.exp(-jnp.minimum(a[i] * tau_pre, 80.0))
+                lls_acc = lls_acc + (w[i] * att_pre) * -jnp.expm1(
+                    -jnp.minimum(a[i] * dtau_pre, 80.0))
         phi_in = nf * phi_in
         phi_cell = nf * phi_cell
         phi_out = phi_in - phi_cell

@@ -399,7 +399,7 @@ class Evolve3D:
                  cosmo_cool_coeff: float = 0.0,
                  stats: Optional[PhotonStatistics] = None,
                  dumper=None, iter_restart: Optional[dict] = None,
-                 nflux_xray=None, verbose: bool = False):
+                 nflux_xray=None, verbose: bool = False, clocks=None):
         """One global timestep (evolve3D, evolve.F90:83-281).
 
         dumper: optional utils.checkpoint.IterDumper - writes the
@@ -623,6 +623,10 @@ class Evolve3D:
                 _apply_stat4(last_stat4)
                 last_report = stats.report(dt, photon_loss, lls_loss,
                                            total_flux)
+            # per-iteration Timings.log stamp (the reference stamps the
+            # timefile every convergence iteration, evolve.F90:272-273)
+            if clocks is not None:
+                clocks.stamp(f"Time after iteration {niter}")
 
         # end-of-step statistics (evolve.F90:277-279).  The final state
         # equals the last iteration's post-chemistry iterates, so the
