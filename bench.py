@@ -29,6 +29,23 @@ import numpy as np
 
 
 REFERENCE_CORE_UPDATES_PER_S = 1.0e7
+# the anchor is ASSUMED, not measured: no Fortran compiler exists on this
+# image (BENCH_HISTORY.md), so vs_baseline is throughput / an optimistic
+# 1e7 updates/s serial-Fortran core, labeled as such in the JSON
+BASELINE_NOTE = "assumed 1e7 updates/s per serial Fortran core (no compiler on image; not measured)"
+# v5e (TPU v5 lite) HBM peak bandwidth
+HBM_PEAK_GBPS = {"tpu": 819.0}
+
+
+def roofline(platform: str, bytes_moved: float, elapsed_s: float):
+    """Achieved HBM bandwidth and peak fraction for a measured pass.
+
+    bytes_moved is an ALGORITHMIC LOWER BOUND (compulsory traffic of the
+    pass), so the fraction understates true utilization; it is the
+    honest complement to the assumed vs_baseline anchor."""
+    peak = HBM_PEAK_GBPS.get(platform)
+    gbps = bytes_moved / elapsed_s / 1e9
+    return gbps, (gbps / peak if peak else None)
 
 
 def full_step_bench(args):
@@ -128,6 +145,7 @@ def full_step_bench(args):
         "value": rate,
         "unit": "cell*conv_iters/s/chip",
         "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
+        "baseline": BASELINE_NOTE,
     }))
     print(f"# FULL STEP mesh={n}^3 sources={args.sources} "
           f"steps={args.iters} total_iters={total_iters} "
@@ -250,15 +268,31 @@ def main():
     updates = cells_per_source * args.sources
     rate = updates / elapsed
 
+    # compulsory HBM traffic per source: read the staged neutral-density
+    # cube twice (march + rate pass), write + read the column cube, and
+    # update the shared rate grid (amortized r+w per batch ~ 2/sources):
+    # ~4 cube-passes of 4 B/cell per source, a LOWER bound (staging
+    # copies, transposes and LLS planes add real traffic on top)
+    itemsize = 4
+    bytes_moved = 4 * cells_per_source * args.sources * itemsize
+    platform = jax.devices()[0].platform
+    gbps, frac = roofline(platform, bytes_moved, elapsed)
+
     print(json.dumps({
         "metric": f"cell_source_sweep_updates_per_s_{n}cube",
         "value": rate,
         "unit": "updates/s/chip",
         "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
+        "baseline": BASELINE_NOTE,
+        "achieved_gbps_lower_bound": round(gbps, 1),
+        "hbm_peak_fraction": round(frac, 4) if frac is not None else None,
     }))
     print(f"# mesh={n}^3 sources={args.sources} sweep={elapsed*1e3:.1f} ms "
-          f"compile={compile_s:.1f}s platform={jax.devices()[0].platform} "
-          f"backend={backend}",
+          f"compile={compile_s:.1f}s platform={platform} "
+          f"backend={backend} "
+          f"roofline>={gbps:.0f} GB/s"
+          + (f" ({100*frac:.1f}% of {HBM_PEAK_GBPS[platform]:.0f} GB/s HBM)"
+             if frac is not None else ""),
           file=sys.stderr)
 
 

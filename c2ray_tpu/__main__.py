@@ -38,7 +38,21 @@ def main(argv=None):
                     help="override the input file's redshift list "
                          "(required for multi-snapshot gadget runs)")
     ap.add_argument("--shard-sources", action="store_true",
-                    help="shard sources over all local devices")
+                    help="shard sources over all local devices "
+                         "(equivalent to --layout src)")
+    # runtime parallel layout (the reference's link-time parallel modes,
+    # makefile_core:40-104, chosen at runtime here)
+    ap.add_argument("--layout", default="none",
+                    choices=["none", "src", "dom", "halo"],
+                    help="parallel layout: src = source sharding "
+                         "(replicated grid + psum, the reference's MPI "
+                         "layout), dom = slab-sharded rate physics, "
+                         "halo = fully domain-decomposed grid (meshes "
+                         "beyond one chip's HBM)")
+    ap.add_argument("--src-devices", type=int, default=0,
+                    help="devices on the source axis (0 = auto)")
+    ap.add_argument("--dom-devices", type=int, default=0,
+                    help="devices on the domain axis (0 = auto)")
     # physics model selection (the reference's compile-time knobs in
     # c2ray_parameters.f90:69-99, all runtime here)
     ap.add_argument("--type-of-clumping", type=int, default=1,
@@ -135,13 +149,14 @@ def main(argv=None):
     adapter.dir_clump = args.clump_dir
     adapter.dir_lls = args.lls_dir
 
-    raytracer = None
-    if args.shard_sources:
-        from .parallel.source_shard import make_device_mesh, sharded_raytracer
-        raytracer = sharded_raytracer(make_device_mesh())
+    from .parallel.layout import ParallelLayout
+    kind = "src" if (args.shard_sources and args.layout == "none") \
+        else args.layout
+    layout = ParallelLayout(kind=kind, n_src=args.src_devices,
+                            n_dom=args.dom_devices)
 
     driver = C2RayDriver(cfg, adapter=adapter, driver_cfg=dc,
-                         raytracer=raytracer)
+                         layout=layout)
     driver.run(max_slices=args.max_slices)
     return 0
 

@@ -131,7 +131,7 @@ class C2RayDriver:
     def __init__(self, cfg: RunConfig, adapter: Optional[NbodyAdapter] = None,
                  driver_cfg: Optional[DriverConfig] = None,
                  material: Optional[MaterialState] = None,
-                 raytracer=None, verbose: bool = True):
+                 raytracer=None, verbose: bool = True, layout=None):
         self.cfg = cfg
         self.dc = driver_cfg or DriverConfig()
         self.adapter = adapter or test_adapter(cfg)
@@ -151,8 +151,17 @@ class C2RayDriver:
         self.tables = build_rad_tables(cfg)
         self.clocks.stamp("Time after radiation tables")
         self.cool = None if cfg.isothermal else setup_cool(cfg)
+        # runtime parallel layout (the reference's link-time parallel
+        # modes, makefile_core:40-104: one driver, any parallelism):
+        # builds the device mesh and the raytracer/chemistry injections
+        from .parallel.layout import LayoutRuntime, ParallelLayout
+        self.layout = LayoutRuntime(cfg, layout or ParallelLayout(),
+                                    cool=self.cool)
+        if raytracer is None:
+            raytracer = self.layout.raytracer
         self.solver = Evolve3D(cfg, self.tables, cool=self.cool,
-                               raytracer=raytracer)
+                               raytracer=raytracer,
+                               chemistry=self.layout.chemistry)
         self.stats = PhotonStatistics(cfg)
         self.output = OutputWriter(cfg, results_dir=self.dc.results_dir,
                                    io_enabled=self.io_rank)
@@ -210,6 +219,39 @@ class C2RayDriver:
             return np.asarray(xh1_of(state.xh1))
         return np.asarray(state.xh1)
 
+    def _x1_dev(self, state):
+        """Dense ionized fraction as a DEVICE array (keeps a sharded
+        layout sharded; gathers/reductions on it stay device-side)."""
+        if self.cfg.compressed_xfrac:
+            from .state import xh1_of
+            return xh1_of(state.xh1)
+        return state.xh1
+
+    def _restart_sharded(self, zred: float) -> GridState:
+        """Slice restart with per-slab reads into the sharded layout
+        (same math as utils.checkpoint.load_slice_restart)."""
+        from .models.nbody import fortran_f6_3
+        from .utils.io_fortran import read_sm3d_slab
+        cfg = self.cfg
+        zs = fortran_f6_3(zred)
+        xpath = os.path.join(self.dc.results_dir, f"xfrac3D_{zs}.bin")
+
+        def x_slab(r0, m):
+            x = read_sm3d_slab(xpath, np.float64, cfg.mesh, r0, m)
+            if cfg.compressed_xfrac:
+                x = np.where(x <= 0.5, x,
+                             np.where(x < 1.0, -(1.0 - x), 1.0))
+            return x
+
+        xh1 = self.layout.make_sharded(x_slab)
+        if cfg.isothermal:
+            return GridState(xh1=xh1)
+        tpath = os.path.join(self.dc.results_dir, f"Temper3D_{zs}.bin")
+        t = self.layout.make_sharded(
+            lambda r0, m: read_sm3d_slab(tpath, np.float32, cfg.mesh, r0, m))
+        return GridState(xh1=xh1, temper_current=t, temper_av=t,
+                         temper_intermed=t)
+
     # ------------------------------------------------------------------
     def run(self, max_slices: Optional[int] = None) -> GridState:
         cfg = self.cfg
@@ -217,18 +259,26 @@ class C2RayDriver:
         ad = self.adapter
         zreds = ad.zred_array
 
-        # material initialization (material.F90:44-134)
+        # material initialization (material.F90:44-134); a sharded layout
+        # lays the fields out P(dom) from the start
         if self.material is None:
             if ad.nbody_type == "test":
                 self.material = uniform_material(cfg)
             else:
                 self.material = MaterialState(
                     ndens_comoving=jnp.zeros(cfg.mesh, cfg.jnp_dtype))
+        if self.layout.sharded_grid:
+            self.material = MaterialState(
+                *[self.layout.shard_grid(f) for f in self.material])
 
         # restart handling (C2Ray.F90:200-253); restart cubes are read on
         # the I/O process and broadcast (xfrac_restart_init reads on the
-        # master and MPI_BCASTs, ionfractions_module.F90:56-120)
+        # master and MPI_BCASTs, ionfractions_module.F90:56-120).  In a
+        # sharded layout every process slab-reads its own rows instead
+        # (the cubes are seekable; no full-grid materialization).
         def _restart_from(zr):
+            if self.layout.sharded_grid:
+                return self._restart_sharded(zr)
             vals = self._mh.read_on_io_rank(
                 lambda: tuple(None if x is None else np.asarray(x)
                               for x in load_slice_restart(
@@ -249,7 +299,7 @@ class C2RayDriver:
         elif dc.restart == 1:
             state = _restart_from(float(zreds[nz0]))
         else:
-            state = initial_state(cfg)
+            state = self.layout.shard_state(initial_state(cfg))
 
         # restart-from-iteration-dump (C2Ray.F90:200-226): consumed by the
         # first evolve3d call only (evolve.F90:154-158)
@@ -325,7 +375,9 @@ class C2RayDriver:
                     read_suppressed_source_list, sup_file)
             else:
                 rows = self._mh.read_on_io_rank(ad.read_sources, zred, nz)
-                cat = self.source_model.load(rows, self._x1(state), nz,
+                # suppression gathers x1 at the source cells ON DEVICE
+                # (models/sources.py), so a sharded state stays sharded
+                cat = self.source_model.load(rows, self._x1_dev(state), nz,
                                              end_time - sim_time, dt_slice=dt)
                 if cat.num_src == 0:
                     # bank the slice's photon budget (sourceprops.F90:199-207)
@@ -345,12 +397,28 @@ class C2RayDriver:
             # read on the I/O process + broadcast like the reference's
             # rank-0 read + MPI_BCAST, density_module.F90:82-125)
             if ad.nbody_type not in ("test",):
-                nd_prop = self._mh.read_on_io_rank(
-                    ad.read_density, zred, nz)   # proper at zred
-                comoving = (nd_prop / (1.0 + zred) ** 3
-                            if cfg.cosmological else nd_prop)
+                if self.layout.sharded_grid:
+                    # each process slab-reads its own rows directly from
+                    # the (seekable) density cube - no broadcast_obj of
+                    # the whole grid, no full-cube materialization
+                    # anywhere (the whole point of the halo layout; the
+                    # reference instead BCASTs the cube into every rank,
+                    # density_module.F90:82-125)
+                    zfac = ((1.0 + zred) ** 3 if cfg.cosmological else 1.0)
+
+                    def nd_slab(r0, m):
+                        return ad.read_density_slab(zred, nz, r0, m) / \
+                            cfg.np_dtype(zfac)
+
+                    ndc = self.layout.make_sharded(nd_slab)
+                else:
+                    nd_prop = self._mh.read_on_io_rank(
+                        ad.read_density, zred, nz)   # proper at zred
+                    comoving = (nd_prop / (1.0 + zred) ** 3
+                                if cfg.cosmological else nd_prop)
+                    ndc = jnp.asarray(comoving)
                 self.material = MaterialState(
-                    ndens_comoving=jnp.asarray(comoving),
+                    ndens_comoving=ndc,
                     clumping_grid=self.material.clumping_grid,
                     lls_grid=self.material.lls_grid)
 
@@ -393,14 +461,20 @@ class C2RayDriver:
                 nd_proper = self.material.ndens_comoving * cfg.np_dtype(zp1**3)
                 dr_proper = cfg.dr_comoving / zp1
 
-                # per-step clumping + LLS (C2Ray.F90:375-376)
-                avg_dens = float(np.mean(np.asarray(
-                    self.material.ndens_comoving))) * zp1**3
-                clump = self.clumping_model.evaluate(
-                    z_now, np.asarray(nd_proper), avg_dens,
-                    grid_file_reader=((lambda _z: clump_grid_slice)
-                                      if clump_grid_slice is not None
-                                      else None))
+                # per-step clumping + LLS (C2Ray.F90:375-376).  Scalar
+                # models (types 1/2) need no density grid; per-cell
+                # models get a host copy (replicated layouts only - the
+                # halo layout gates them out at init)
+                if cfg.type_of_clumping in (1, 2):
+                    clump = self.clumping_model.evaluate(z_now)
+                else:
+                    avg_dens = float(jnp.mean(
+                        self.material.ndens_comoving)) * zp1**3
+                    clump = self.clumping_model.evaluate(
+                        z_now, np.asarray(nd_proper), avg_dens,
+                        grid_file_reader=((lambda _z: clump_grid_slice)
+                                          if clump_grid_slice is not None
+                                          else None))
                 lls = (lls_slice if lls_slice is not None
                        else set_lls(cfg, z_now, dr_proper, lls_grid_slice))
                 cosmo_cool_coeff = 0.0
@@ -429,7 +503,7 @@ class C2RayDriver:
                     from .solver import EvolveInfo
                     info = EvolveInfo(
                         niter=0, conv_flag=0, converged=True,
-                        mean_xh1=float(np.mean(self._x1(state))),
+                        mean_xh1=float(jnp.mean(self._x1_dev(state))),
                         photon_loss=0.0, lls_loss=0.0,
                         per_source_loss=np.zeros(0), photon_stats={})
                 iter_restart = None   # consumed by the first step only
@@ -471,20 +545,23 @@ class C2RayDriver:
         cfg = self.cfg
         out = self.output
         vol = float(dr_proper) ** 3
+        x1 = self._x1_dev(state)      # device view; sharded stays sharded
         if out.streams[0]:
             x_coords = (np.arange(cfg.mesh[0]) + 0.5) * float(dr_proper)
             src0 = cat.srcpos[0] if cat.num_src else (0, 0, 0)
-            out.write_stream1(zred, x_coords, self._x1(state),
-                              state.temper_current, np.asarray(nd_proper),
-                              src0)
+            j, k = int(src0[1]), int(src0[2])
+            t_line = (None if state.temper_current is None
+                      else np.asarray(state.temper_current[:, j, k]))
+            out.write_stream1(zred, x_coords, np.asarray(x1[:, j, k]),
+                              t_line, np.asarray(nd_proper[:, j, k]))
         if out.streams[1]:
-            out.write_stream2(zred, self._x1(state), state.temper_current)
+            out.write_stream2(zred, x1, state.temper_current)
         if out.streams[2] and info.phih is not None:
             out.write_stream3(zred, info.phih, info.phiheat)
         if out.streams[3]:
-            out.write_stream4(zred, self._x1(state))
+            out.write_stream4(zred, x1)
         if out.streams[4]:
-            out.write_stream5(zred, np.asarray(nd_proper))
+            out.write_stream5(zred, nd_proper)
         return out.write_photonstatistics(
             zred, sim_time, dt, self.stats, info.photon_loss, info.lls_loss,
-            cat.total_flux, nd_proper, self._x1(state), vol)
+            cat.total_flux, nd_proper, x1, vol)

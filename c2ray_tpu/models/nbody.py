@@ -134,6 +134,34 @@ class NbodyAdapter:
                                   conv=conv, floor_val=0.1 * conv)
         return nd.astype(self.cfg.np_dtype)
 
+    def read_density_slab(self, redshift: float, nz: int, row0: int,
+                          nrows: int) -> np.ndarray:
+        """Slab variant of read_density: grid-axis-0 rows [row0,
+        row0+nrows) only, via a seek/memmap read — the halo layout's
+        per-process ingestion (no process holds the whole cube, unlike
+        the reference's whole-cube BCAST, density_module.F90:82-125)."""
+        from ..utils.io_fortran import read_stream_cube_slab
+
+        path = self.density_filename(redshift, nz)
+        conv = self.density_conversion(redshift)
+        raw = read_stream_cube_slab(path, self.cfg.mesh, np.float32,
+                                    row0, nrows,
+                                    header=self.density_header)
+        # identical math to the whole-cube readers (native and fallback):
+        # v = double(raw) * conv, floored where v <= 0, stored f32
+        nd = raw.astype(np.float64) * conv
+        nd[nd <= 0.0] = 0.1 * conv
+        return nd.astype(np.float32).astype(self.cfg.np_dtype)
+
+    def read_lls_grid_slab(self, redshift: float, row0: int,
+                           nrows: int) -> np.ndarray:
+        """Slab variant of read_lls_grid (type-2 LLS cubes)."""
+        from ..utils.io_fortran import read_stream_cube_slab
+
+        return read_stream_cube_slab(self.lls_filename(redshift),
+                                     self.cfg.mesh, np.float32, row0,
+                                     nrows, header=True).astype(np.float64)
+
     def read_sources(self, redshift: float, nz: int) -> np.ndarray:
         return read_source_file(self.source_filename(redshift, nz))
 

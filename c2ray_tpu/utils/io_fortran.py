@@ -15,7 +15,7 @@ outputs/inputs and post-processing tools interoperate unchanged:
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -66,6 +66,70 @@ def read_sm3d(path: str, dtype=np.float64,
         raise ValueError(f"{path}: mesh {tuple(mesh)} != expected {expect_mesh}")
     a = np.frombuffer(recs[1], dtype).reshape(tuple(mesh), order="F")
     return np.ascontiguousarray(a)
+
+
+def read_sm3d_slab(path: str, dtype, mesh: Tuple[int, int, int],
+                   row0: int, nrows: int) -> np.ndarray:
+    """Read grid-axis-0 rows [row0, row0+nrows) of an sm3d cube without
+    materializing the rest (the file is seekable; the halo layout's
+    per-process slab ingestion relies on this).  Returns a C-order
+    (nrows, n2, n3) slab."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        (nh,) = struct.unpack("<i", head)
+        m = np.frombuffer(f.read(nh), np.int32)
+        if tuple(m) != tuple(mesh):
+            raise ValueError(f"{path}: mesh {tuple(m)} != expected {mesh}")
+        f.read(4)
+        f.read(4)                      # data record marker
+        data_off = f.tell()
+    mm = np.memmap(path, dtype=dtype, mode="r", offset=data_off,
+                   shape=tuple(mesh), order="F")
+    return np.ascontiguousarray(mm[row0:row0 + nrows])
+
+
+def read_stream_cube_slab(path: str, mesh: Tuple[int, int, int],
+                          dtype=np.float32, row0: int = 0,
+                          nrows: Optional[int] = None,
+                          header: bool = True) -> np.ndarray:
+    """Slab read of a stream-access cube (see read_stream_cube)."""
+    nrows = mesh[0] if nrows is None else nrows
+    off = 12 if header else 0
+    if header:
+        with open(path, "rb") as f:
+            m = np.fromfile(f, np.int32, 3)
+            if tuple(m) != tuple(mesh):
+                raise ValueError(f"{path}: mesh {tuple(m)} != {mesh}")
+    mm = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                   shape=tuple(mesh), order="F")
+    return np.ascontiguousarray(mm[row0:row0 + nrows])
+
+
+def write_sm3d_stream(path: str, mesh: Tuple[int, int, int], dtype,
+                      blocks) -> None:
+    """Write an sm3d cube from a stream of z-blocks.
+
+    `blocks` yields C-order (n1, n2, kc) arrays covering ascending z.
+    In the file's Fortran order z is the SLOWEST axis, so each block is
+    one contiguous span of the data record — peak memory is one block,
+    never the cube (the write path of the halo layout's outputs)."""
+    n1, n2, n3 = mesh
+    itemsize = np.dtype(dtype).itemsize
+    total = n1 * n2 * n3 * itemsize
+    header = np.asarray(mesh, np.int32).tobytes()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", len(header)))
+        f.write(header)
+        f.write(struct.pack("<i", len(header)))
+        f.write(struct.pack("<i", total))
+        written = 0
+        for b in blocks:
+            chunk = np.asarray(b, dtype).tobytes(order="F")
+            f.write(chunk)
+            written += len(chunk)
+        if written != total:
+            raise IOError(f"{path}: wrote {written} bytes, expected {total}")
+        f.write(struct.pack("<i", total))
 
 
 def read_stream_cube(path: str, mesh: Tuple[int, int, int],

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import RunConfig
 from ..models.nbody import fortran_f6_3
 from ..ops.photonstats import PhotonStatistics
-from .io_fortran import write_sm3d, write_unformatted_records
+from .io_fortran import write_unformatted_records
 
 
 @dataclass
@@ -69,40 +69,49 @@ class OutputWriter:
         return os.path.join(self.results_dir,
                             f"{base}{fortran_f6_3(zred)}{ext}")
 
-    def write_stream1(self, zred, x_coords, xh1, temper, ndens, srcpos0):
-        """Axis profile through the first source (output.F90:229-280)."""
+    def write_stream1(self, zred, x_coords, x1_line, t_line, nd_line):
+        """Axis profile through the first source (output.F90:229-280).
+
+        Takes the 1D lines through the source row (the driver gathers
+        them device-side so sharded grids never materialize)."""
         if not self.io_enabled:
             return
         path = self._path("Ifront1_", zred, ".dat")
-        j, k = int(srcpos0[1]), int(srcpos0[2])
         with open(path, "w") as f:
             for i in range(self.cfg.mesh[0]):
-                x1 = float(xh1[i, j, k])
-                t = float(temper[i, j, k]) if temper is not None else \
+                x1 = float(x1_line[i])
+                t = float(t_line[i]) if t_line is not None else \
                     self.cfg.initial_temperature
                 f.write(f"{x_coords[i]:10.3e} {1.0 - x1:10.3e} {x1:10.3e} "
-                        f"{t:10.3e} {float(ndens[i, j, k]):10.3e}\n")
+                        f"{t:10.3e} {float(nd_line[i]):10.3e}\n")
+
+    def _write_cube(self, path, arr, dtype):
+        """sm3d cube write, streaming z-blocks so axis-0-sharded device
+        arrays are fetched one slab-block at a time (never the cube)."""
+        from ..parallel.layout import z_chunks
+        from .io_fortran import write_sm3d_stream
+        write_sm3d_stream(path, tuple(arr.shape), dtype, z_chunks(arr))
 
     def write_stream2(self, zred, xh1, temper=None):
         """Full ionization cube, dp (+ temperature cube, sp)
         (output.F90:285-337)."""
         if not self.io_enabled:
             return
-        write_sm3d(self._path("xfrac3D_", zred, ".bin"),
-                   np.asarray(xh1), np.float64)
+        self._write_cube(self._path("xfrac3D_", zred, ".bin"), xh1,
+                         np.float64)
         if temper is not None and not self.cfg.isothermal:
-            write_sm3d(self._path("Temper3D_", zred, ".bin"),
-                       np.asarray(temper), np.float32)
+            self._write_cube(self._path("Temper3D_", zred, ".bin"), temper,
+                             np.float32)
 
     def write_stream3(self, zred, phih, phiheat=None):
         """Ionization (+heating) rate cubes, sp (output.F90:342-390)."""
         if not self.io_enabled:
             return
-        write_sm3d(self._path("IonRates3D_", zred, ".bin"),
-                   np.asarray(phih), np.float32)
+        self._write_cube(self._path("IonRates3D_", zred, ".bin"), phih,
+                         np.float32)
         if phiheat is not None and not self.cfg.isothermal:
-            write_sm3d(self._path("HeatRates3D_", zred, ".bin"),
-                       np.asarray(phiheat), np.float32)
+            self._write_cube(self._path("HeatRates3D_", zred, ".bin"),
+                             phiheat, np.float32)
 
     def write_stream4(self, zred, xh1):
         """Midplane ionization slices (output.F90:395-454)."""
@@ -122,9 +131,10 @@ class OutputWriter:
         if not self.io_enabled:
             return
         n1, n2, n3 = self.cfg.mesh
-        nd = np.asarray(ndens, np.float32)
-        cuts = [("xy", nd[:, :, n3 // 2 - 1]), ("xz", nd[:, n2 // 2 - 1, :]),
-                ("yz", nd[n1 // 2 - 1, :, :])]
+        # slice BEFORE materializing (sharded device grids stay sharded)
+        cuts = [("xy", np.asarray(ndens[:, :, n3 // 2 - 1], np.float32)),
+                ("xz", np.asarray(ndens[:, n2 // 2 - 1, :], np.float32)),
+                ("yz", np.asarray(ndens[n1 // 2 - 1, :, :], np.float32))]
         for name, plane in cuts:
             path = self._path(f"ndens_{name}_", zred, ".bin")
             hdr = np.asarray(plane.shape, np.int32).tobytes()
@@ -165,11 +175,20 @@ class OutputWriter:
                         stats.totcollisions / ti, gr)) + "\n")
             self._pc1.flush()
 
-        nd = np.asarray(ndens, np.float64)
-        x1 = np.asarray(xh1, np.float64)
-        totions = float((nd * x1).sum()) * vol
-        volfrac = float(x1.sum()) / n_cells
-        massfrac = float((nd * x1).sum()) / float(nd.sum())
+        import jax
+        if isinstance(xh1, jax.Array) and not isinstance(xh1, np.ndarray):
+            # device reductions (sharded grids never come to the host)
+            import jax.numpy as jnp
+            ndx = float(jnp.sum(ndens * xh1))
+            totions = ndx * vol
+            volfrac = float(jnp.sum(xh1)) / n_cells
+            massfrac = ndx / float(jnp.sum(ndens))
+        else:
+            nd = np.asarray(ndens, np.float64)
+            x1 = np.asarray(xh1, np.float64)
+            totions = float((nd * x1).sum()) * vol
+            volfrac = float(x1.sum()) / n_cells
+            massfrac = float((nd * x1).sum()) / float(nd.sum())
         if self._pc2 is not None:
             self._pc2.write(f"{zred:6.3f}" + "".join(
                 f"{v:10.3E}" for v in (totions, stats.grtotal_src,
