@@ -193,8 +193,11 @@ class C2RayDriver:
         # 15-minute double-buffered iteration dumps (evolve.F90:253-266),
         # written by the I/O process only (:258 `if (rank == 0)`)
         from .utils.checkpoint import IterDumper
+        collective_dump = (self.layout.sharded_grid
+                           and mh.process_count() > 1)
         self.dumper = IterDumper(dump_dir=self.dc.dump_dir,
-                                 enabled=self.io_rank)
+                                 enabled=self.io_rank or collective_dump,
+                                 collective=collective_dump)
         self.history = []
         # rank-0 run log (the reference's results/C2Ray.log, unit logf=30,
         # mpi.F90:93-151): every driver message is teed into it
@@ -547,13 +550,14 @@ class C2RayDriver:
         vol = float(dr_proper) ** 3
         x1 = self._x1_dev(state)      # device view; sharded stays sharded
         if out.streams[0]:
+            from .parallel.layout import replicate_to_host as r2h
             x_coords = (np.arange(cfg.mesh[0]) + 0.5) * float(dr_proper)
             src0 = cat.srcpos[0] if cat.num_src else (0, 0, 0)
             j, k = int(src0[1]), int(src0[2])
             t_line = (None if state.temper_current is None
-                      else np.asarray(state.temper_current[:, j, k]))
-            out.write_stream1(zred, x_coords, np.asarray(x1[:, j, k]),
-                              t_line, np.asarray(nd_proper[:, j, k]))
+                      else r2h(state.temper_current[:, j, k]))
+            out.write_stream1(zred, x_coords, r2h(x1[:, j, k]),
+                              t_line, r2h(nd_proper[:, j, k]))
         if out.streams[1]:
             out.write_stream2(zred, x1, state.temper_current)
         if out.streams[2] and info.phih is not None:

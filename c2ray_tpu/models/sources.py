@@ -176,8 +176,10 @@ class SourceModel:
         # suppression: low-mass sources in ionized cells
         # (suppression_criterion, sourceprops.F90:474-486).  Index FIRST,
         # materialize after: on a (sharded) device array the gather runs
-        # on device and only num_src values come to the host
-        x_at_src = np.asarray(xh1[pos0[:, 0], pos0[:, 1], pos0[:, 2]])
+        # on device and only num_src values come to the host (a
+        # collective on a cross-process grid - every process calls this)
+        from ..parallel.layout import replicate_to_host
+        x_at_src = replicate_to_host(xh1[pos0[:, 0], pos0[:, 1], pos0[:, 2]])
         suppress = x_at_src > cfg.still_neutral
         self.num_massive = int(np.sum(rows[:, HMACH] > 0))
         self.num_supprble = int(np.sum(rows[:, LMACH] > 0))

@@ -150,12 +150,39 @@ class LayoutRuntime:
         yield from z_chunks(arr, k_chunk)
 
 
+def replicate_to_host(x) -> np.ndarray:
+    """np.asarray that also works for MULTI-PROCESS sharded arrays: the
+    value is all-gathered to every process (an SPMD collective — every
+    process must call this on the same array).  Use for small gathers
+    (lines, planes, per-source values); cubes go through z_chunks."""
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray) \
+            and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def z_chunks(arr, k_chunk: int = 32) -> Iterator[np.ndarray]:
     """Host (N1, N2, kc) z-blocks of a (possibly sharded) grid array.
 
     For an axis-0-sharded jax.Array the per-shard z-slices are fetched
     and reassembled per block; plain/replicated arrays slice directly.
+    With a MULTI-PROCESS sharded array this is an SPMD collective (every
+    process must drain the iterator): each block is all-gathered, so
+    rank 0 can write the full cube while peak memory stays one block.
     """
+    if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray) \
+            and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        n3 = arr.shape[2]
+        for k0 in range(0, n3, k_chunk):
+            kc = min(k_chunk, n3 - k0)
+            blk = jax.jit(jax.lax.dynamic_slice_in_dim,
+                          static_argnames=("slice_size", "axis"))(
+                arr, k0, slice_size=kc, axis=2)
+            yield np.asarray(multihost_utils.process_allgather(blk,
+                                                               tiled=True))
+        return
     if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray) \
             and len(arr.sharding.device_set) > 1:
         # dedupe replicated copies (e.g. the src axis of a 2D mesh, or a

@@ -67,6 +67,12 @@ class IterDumper:
     # reference writes the dump on rank 0 only (evolve.F90:258-265
     # inside `if (rank == 0)`)
     enabled: bool = True
+    # collective=True for a CROSS-PROCESS sharded grid (halo layout on
+    # multiple processes): no single process holds the dump data, so the
+    # gathers are collectives every process must join - rank 0's
+    # wall-clock decision is broadcast and all ranks call dump(), with
+    # the file write still gated on the I/O rank
+    collective: bool = False
     _ndump: int = 0
     _last_wall: float = field(default_factory=time.time)
 
@@ -74,6 +80,17 @@ class IterDumper:
                    xh_intermed, phiheat=None, temper=None,
                    temper_av=None) -> Optional[str]:
         """Dump if >15 wall-clock minutes since the last one."""
+        if self.collective:
+            from ..parallel import multihost as mh
+            now = time.time()
+            should = mh.broadcast_obj(
+                now - self._last_wall >= self.interval_s
+                if mh.is_io_rank() else None)
+            if not should:
+                return None
+            self._last_wall = now
+            return self.dump(niter, photon_loss, phih, xh_av, xh_intermed,
+                             phiheat, temper, temper_av)
         if not self.enabled:
             return None
         now = time.time()
@@ -85,18 +102,24 @@ class IterDumper:
 
     def dump(self, niter, photon_loss, phih, xh_av, xh_intermed,
              phiheat=None, temper=None, temper_av=None) -> str:
+        from ..parallel.layout import replicate_to_host
         self._ndump += 1
         name = "iterdump2.npz" if self._ndump % 2 == 0 else "iterdump1.npz"
         path = os.path.join(self.dump_dir, name)
         data = dict(niter=niter, photon_loss=photon_loss,
-                    phih=np.asarray(phih), xh_av=np.asarray(xh_av),
-                    xh_intermed=np.asarray(xh_intermed))
+                    phih=replicate_to_host(phih),
+                    xh_av=replicate_to_host(xh_av),
+                    xh_intermed=replicate_to_host(xh_intermed))
         if phiheat is not None:
-            data["phiheat"] = np.asarray(phiheat)
+            data["phiheat"] = replicate_to_host(phiheat)
         if temper is not None:
-            data["temper"] = np.asarray(temper)
+            data["temper"] = replicate_to_host(temper)
         if temper_av is not None:
-            data["temper_av"] = np.asarray(temper_av)
+            data["temper_av"] = replicate_to_host(temper_av)
+        if self.collective:
+            from ..parallel import multihost as mh
+            if not mh.is_io_rank():
+                return None       # joined the gathers; rank 0 writes
         tmp = path + ".tmp.npz"   # .npz suffix keeps np.savez from renaming
         np.savez(tmp, **data)
         os.replace(tmp, path)

@@ -85,17 +85,36 @@ class OutputWriter:
                 f.write(f"{x_coords[i]:10.3e} {1.0 - x1:10.3e} {x1:10.3e} "
                         f"{t:10.3e} {float(nd_line[i]):10.3e}\n")
 
+    @staticmethod
+    def _collective(arr) -> bool:
+        """True when gathering `arr` is an SPMD collective every process
+        must join (multi-process sharded grid: no process holds it)."""
+        import jax
+        return (isinstance(arr, jax.Array)
+                and not isinstance(arr, np.ndarray)
+                and not arr.is_fully_addressable)
+
     def _write_cube(self, path, arr, dtype):
         """sm3d cube write, streaming z-blocks so axis-0-sharded device
-        arrays are fetched one slab-block at a time (never the cube)."""
+        arrays are fetched one slab-block at a time (never the cube).
+
+        Multi-process discipline: with a cross-process sharded array the
+        z-block gathers are collectives, so NON-I/O processes drain the
+        same iterator (joining each all-gather) while only the I/O
+        process writes — the sharded-grid analogue of the reference's
+        rank-0 write of replicated data (output.F90:179)."""
         from ..parallel.layout import z_chunks
         from .io_fortran import write_sm3d_stream
-        write_sm3d_stream(path, tuple(arr.shape), dtype, z_chunks(arr))
+        if self.io_enabled:
+            write_sm3d_stream(path, tuple(arr.shape), dtype, z_chunks(arr))
+        elif self._collective(arr):
+            for _ in z_chunks(arr):
+                pass
 
     def write_stream2(self, zred, xh1, temper=None):
         """Full ionization cube, dp (+ temperature cube, sp)
         (output.F90:285-337)."""
-        if not self.io_enabled:
+        if not self.io_enabled and not self._collective(xh1):
             return
         self._write_cube(self._path("xfrac3D_", zred, ".bin"), xh1,
                          np.float64)
@@ -105,7 +124,7 @@ class OutputWriter:
 
     def write_stream3(self, zred, phih, phiheat=None):
         """Ionization (+heating) rate cubes, sp (output.F90:342-390)."""
-        if not self.io_enabled:
+        if not self.io_enabled and not self._collective(phih):
             return
         self._write_cube(self._path("IonRates3D_", zred, ".bin"), phih,
                          np.float32)
@@ -113,14 +132,26 @@ class OutputWriter:
             self._write_cube(self._path("HeatRates3D_", zred, ".bin"),
                              phiheat, np.float32)
 
+    def _midplane_cuts(self, arr):
+        """Host midplane slices of a (possibly cross-process sharded)
+        grid: slice BEFORE materializing; the gather of a sharded slice
+        is a collective all processes join (replicate_to_host)."""
+        from ..parallel.layout import replicate_to_host
+        n1, n2, n3 = self.cfg.mesh
+        return [("xy", np.asarray(replicate_to_host(arr[:, :, n3 // 2 - 1]),
+                                  np.float32)),
+                ("xz", np.asarray(replicate_to_host(arr[:, n2 // 2 - 1, :]),
+                                  np.float32)),
+                ("yz", np.asarray(replicate_to_host(arr[n1 // 2 - 1, :, :]),
+                                  np.float32))]
+
     def write_stream4(self, zred, xh1):
         """Midplane ionization slices (output.F90:395-454)."""
+        if not self.io_enabled and not self._collective(xh1):
+            return
+        cuts = self._midplane_cuts(xh1)
         if not self.io_enabled:
             return
-        n1, n2, n3 = self.cfg.mesh
-        cuts = [("xy", np.asarray(xh1[:, :, n3 // 2 - 1], np.float32)),
-                ("xz", np.asarray(xh1[:, n2 // 2 - 1, :], np.float32)),
-                ("yz", np.asarray(xh1[n1 // 2 - 1, :, :], np.float32))]
         for name, plane in cuts:
             path = self._path(f"Ifront2_{name}_", zred, ".bin")
             hdr = np.asarray(plane.shape, np.int32).tobytes()
@@ -128,13 +159,11 @@ class OutputWriter:
 
     def write_stream5(self, zred, ndens):
         """Midplane density slices (output.F90:459-501)."""
+        if not self.io_enabled and not self._collective(ndens):
+            return
+        cuts = self._midplane_cuts(ndens)
         if not self.io_enabled:
             return
-        n1, n2, n3 = self.cfg.mesh
-        # slice BEFORE materializing (sharded device grids stay sharded)
-        cuts = [("xy", np.asarray(ndens[:, :, n3 // 2 - 1], np.float32)),
-                ("xz", np.asarray(ndens[:, n2 // 2 - 1, :], np.float32)),
-                ("yz", np.asarray(ndens[n1 // 2 - 1, :, :], np.float32))]
         for name, plane in cuts:
             path = self._path(f"ndens_{name}_", zred, ".bin")
             hdr = np.asarray(plane.shape, np.int32).tobytes()

@@ -8,6 +8,12 @@ code on the same inputs - the reference's SPMD rank discipline
 all file I/O gated on process 0.
 
 Usage: python mp_worker.py <process_id> <num_processes> <port> <workdir>
+       [layout_kind]
+
+layout_kind (default "src") selects the runtime parallel layout; "halo"
+runs the fully grid-sharded layout with the dom mesh axis SPANNING the
+processes (the Cartesian-topology distribution the reference built but
+never enabled, mpi.F90:183-275).
 """
 
 import os
@@ -29,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     pid, nproc, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    layout_kind = sys.argv[5] if len(sys.argv) > 5 else "src"
 
     from c2ray_tpu.parallel import multihost as mh
 
@@ -54,11 +61,20 @@ def main():
                       results_dir=os.path.join(workdir, "results") + "/",
                       dump_dir=workdir + "/")
     ad = test_adapter(cfg, source_dir=workdir + "/")
-    # source sharding over the GLOBAL device mesh: collectives ride ICI
-    # within a process and DCN across processes
-    raytracer = sharded_raytracer(make_device_mesh())
-    drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, raytracer=raytracer,
-                      verbose=(pid == 0))
+    if layout_kind == "src":
+        # source sharding over the GLOBAL device mesh: collectives ride
+        # ICI within a process and DCN across processes
+        raytracer = sharded_raytracer(make_device_mesh())
+        drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc,
+                          raytracer=raytracer, verbose=(pid == 0))
+    else:
+        # grid-sharded layouts with the dom axis spanning the processes
+        from c2ray_tpu.parallel.layout import ParallelLayout
+        lay = (ParallelLayout(kind="halo", n_src=1, n_dom=4 * nproc)
+               if layout_kind == "halo"
+               else ParallelLayout(kind="dom", n_src=2, n_dom=2 * nproc))
+        drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, layout=lay,
+                          verbose=(pid == 0))
 
     # non-I/O processes must hold no open output files (rank-0 gating,
     # output.F90:179)
@@ -66,10 +82,17 @@ def main():
         assert drv.output._pc1 is None
         assert drv._logf is None
         assert drv.clocks._f is None
-        assert not drv.dumper.enabled
+        assert drv.dumper.collective or not drv.dumper.enabled
 
     state = drv.run(max_slices=1)
-    x = np.asarray(state.xh1)
+    if layout_kind == "halo":
+        # the grid is cross-process sharded: assert it, then all-gather
+        # (a collective both processes join) for the parity files
+        assert not state.xh1.is_fully_addressable
+        from c2ray_tpu.parallel.layout import replicate_to_host
+        x = replicate_to_host(state.xh1)
+    else:
+        x = np.asarray(state.xh1)
     print(f"proc {pid}: mean_x={x.mean():.12e} niter="
           f"{[h['niter'] for h in drv.history]}", flush=True)
     # every process must hold the identical replicated answer

@@ -29,13 +29,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(nproc: int, workdir: str, timeout: float = 900.0):
+def _run_workers(nproc: int, workdir: str, timeout: float = 900.0,
+                 layout: str = "src"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), str(nproc), str(port), workdir],
+        [sys.executable, WORKER, str(i), str(nproc), str(port), workdir,
+         layout],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO) for i in range(nproc)]
     outs = []
@@ -113,6 +115,50 @@ def test_two_process_driver_matches_single_process(tmp_path):
     cube = read_sm3d(str(mp_dir / "results" / f"xfrac3D_{z1}.bin"),
                      np.float64, expect_mesh=(16, 16, 16))
     np.testing.assert_allclose(cube, x_golden, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_two_process_halo_grid_sharding(tmp_path):
+    """The fully grid-sharded (halo) layout with the dom mesh axis
+    SPANNING two processes — each process holds only half the grid rows
+    — matches a single-process serial driver run (the distributed-memory
+    Cartesian decomposition the reference's mpi.F90:183-275 builds but
+    never enables)."""
+    srcs = "2\n8 8 8 1e57 0.0\n4 12 6 5e56 0.0\n"
+
+    mp_dir = tmp_path / "mp"
+    mp_dir.mkdir()
+    (mp_dir / "test_sources.dat").write_text(srcs)
+    _run_workers(2, str(mp_dir), layout="halo")
+
+    # serial single-device golden
+    from c2ray_tpu.config import test_problem_config
+    from c2ray_tpu.driver import C2RayDriver, DriverConfig
+    from c2ray_tpu.models.nbody import test_adapter
+
+    sp_dir = tmp_path / "sp"
+    sp_dir.mkdir()
+    (sp_dir / "test_sources.dat").write_text(srcs)
+    cfg = test_problem_config(mesh=16, dtype="float64", use_lls=False)
+    dc = DriverConfig(number_timesteps=2, number_outputs=1,
+                      results_dir=str(sp_dir / "results") + "/",
+                      dump_dir=str(sp_dir) + "/")
+    ad = test_adapter(cfg, source_dir=str(sp_dir) + "/")
+    drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, verbose=False)
+    x_golden = np.asarray(drv.run(max_slices=1).xh1)
+
+    x0 = np.load(mp_dir / "state_proc0.npy")
+    x1 = np.load(mp_dir / "state_proc1.npy")
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_allclose(x0, x_golden, rtol=1e-12, atol=0.0)
+
+    # rank-0 wrote ONE set of outputs; the streamed (collectively
+    # gathered) output cube matches the serial cube byte-for-byte
+    from c2ray_tpu.models.nbody import fortran_f6_3
+    z1 = fortran_f6_3(float(ad.zred_array[1]))
+    mp_cube = (mp_dir / "results" / f"xfrac3D_{z1}.bin").read_bytes()
+    sp_cube = (sp_dir / "results" / f"xfrac3D_{z1}.bin").read_bytes()
+    assert mp_cube == sp_cube
 
 
 def test_broadcast_obj_single_process_identity():
