@@ -834,15 +834,26 @@ def sweep_single_source(cfg: RunConfig, tables: RadTables,
 
 
 def windowed_prepass(cfg: RunConfig, ndens: jax.Array, xh_av1: jax.Array,
-                     lls_grid: Optional[jax.Array], radius: int):
+                     lls_grid: Optional[jax.Array], radius: int,
+                     lane_margin: bool = False):
     """Amortized per-call setup of the windowed sweep: the neutral-density
     field and its r-wide periodic pad (plus the LLS grid's, type-2 LLS).
     A window of half-width `radius` at grid position q is then the
-    contiguous (2r+1)^3 slice of the padded field with corner q."""
+    contiguous (2r+1)^3 slice of the padded field with corner q.
+
+    lane_margin=True additionally zero-extends the last axis so the DMA
+    gather's tile-aligned covering blocks stay in bounds
+    (ops/window_pallas.py)."""
     ndhi = neutral_density(cfg, ndens, xh_av1)
     ndhi_pad = jnp.pad(ndhi, radius, mode="wrap")
     lls_pad = (jnp.pad(lls_grid, radius, mode="wrap")
                if lls_grid is not None else None)
+    if lane_margin:
+        from .window_pallas import with_lane_margin
+        n = cfg.mesh[0]
+        ndhi_pad = with_lane_margin(ndhi_pad, n, radius)
+        if lls_pad is not None:
+            lls_pad = with_lane_margin(lls_pad, n, radius)
     return ndhi_pad, lls_pad
 
 
@@ -850,7 +861,8 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
                    lls_pad: Optional[jax.Array], pos: jax.Array,
                    nf: jax.Array, nfx: Optional[jax.Array],
                    sc: SweepScalars, radius: int,
-                   acc: jax.Array, heat_acc: jax.Array):
+                   acc: jax.Array, heat_acc: jax.Array,
+                   dma: bool = False):
     """Sweep ONE fixed-size batch of (2r+1)^3 windows and scatter-add the
     rates into the grid accumulators.
 
@@ -878,12 +890,21 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
             pallas_sweep_available
         use_pallas = pallas_sweep_available(cfgw, lls_pad)
 
-    def window_of(field_pad, q):
-        return lax.dynamic_slice(field_pad, (q[0], q[1], q[2]), (p, p, p))
+    if dma:
+        # bulk block-DMA gather (ops/window_pallas.py): one strided copy
+        # per window instead of an XLA index-engine gather
+        from .window_pallas import window_gather
+        wins = window_gather(ndhi_pad, pos, r)
+        lwins = (window_gather(lls_pad, pos, r)
+                 if lls_pad is not None else None)
+    else:
+        def window_of(field_pad, q):
+            return lax.dynamic_slice(field_pad, (q[0], q[1], q[2]),
+                                     (p, p, p))
 
-    wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
-    lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
-             if lls_pad is not None else None)
+        wins = jax.vmap(lambda q: window_of(ndhi_pad, q))(pos)
+        lwins = (jax.vmap(lambda q: window_of(lls_pad, q))(pos)
+                 if lls_pad is not None else None)
     lax_ax = 0 if lls_pad is not None else None
 
     def rate_one(cdo, win, lwin, f, fx):
@@ -903,6 +924,17 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
         res = jax.vmap(sweep_one, in_axes=(0, lax_ax, 0, 0))(
             wins, lwins, nf, nfx)
 
+    if dma:
+        # sequential block-DMA read-modify-writes into the PADDED
+        # accumulator (no mod-N indices; the pad ring is folded back
+        # once per pass by fold_padded_acc)
+        from .window_pallas import window_scatter_add
+        acc = window_scatter_add(acc, res.phih, pos)
+        if not cfg.isothermal:
+            heat_acc = window_scatter_add(heat_acc, res.phiheat, pos)
+        return (acc, heat_acc, jnp.sum(res.photon_loss),
+                jnp.sum(res.lls_loss), res.photon_loss)
+
     # one scatter-add per batch: windows may overlap each other and
     # the periodic boundary, so indices are mod-n and duplicates sum
     ar = jnp.arange(p, dtype=jnp.int32)
@@ -917,6 +949,15 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
                                         mode="promise_in_bounds")
     return (acc, heat_acc, jnp.sum(res.photon_loss),
             jnp.sum(res.lls_loss), res.photon_loss)
+
+
+def use_window_dma(cfg: RunConfig) -> bool:
+    """True when the windowed path should use the Pallas block-DMA
+    gather/scatter kernels (TPU + pallas backend); the XLA
+    gather/scatter path remains the CPU/test reference."""
+    import jax as _jax
+    return (cfg.sweep_backend == "pallas"
+            and _jax.devices()[0].platform == "tpu")
 
 
 def raytrace_windowed(cfg: RunConfig, tables: RadTables,
@@ -956,8 +997,10 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
     p = 2 * r + 1
     assert p <= n, "window must fit in the grid; use the full sweep"
     dtype = ndens.dtype
+    dma = use_window_dma(cfg)
 
-    ndhi_pad, lls_pad = windowed_prepass(cfg, ndens, xh_av1, lls_grid, r)
+    ndhi_pad, lls_pad = windowed_prepass(cfg, ndens, xh_av1, lls_grid, r,
+                                         lane_margin=dma)
 
     s = int(srcpos.shape[0])
     b = max(1, min(cfg.source_batch, s))
@@ -980,14 +1023,24 @@ def raytrace_windowed(cfg: RunConfig, tables: RadTables,
         pos, nf, nfx = inp
         acc, heat_acc, lo, ll, per_win = windowed_batch(
             cfg, tables, ndhi_pad, lls_pad, pos, nf,
-            nfx if have_x else None, sc, r, acc, heat_acc)
+            nfx if have_x else None, sc, r, acc, heat_acc, dma=dma)
         return (acc, heat_acc, loss_t + lo, lls_t + ll), per_win
 
-    zero3 = jnp.zeros((n, n, n), dtype)
+    if dma:
+        from .window_pallas import padded_acc_shape
+        acc_shape = padded_acc_shape(n, r)
+    else:
+        acc_shape = (n, n, n)
+    zero3 = jnp.zeros(acc_shape, dtype)
     heat0 = zero3 if not cfg.isothermal else jnp.zeros((), dtype)
     carry0 = (zero3, heat0, jnp.zeros((), dtype), jnp.zeros((), dtype))
     (phih, heat, loss, lls_loss), per_src = lax.scan(
         one_batch, carry0, (srcpos_b, nflux_b, nfx_b))
+    if dma:
+        from .window_pallas import fold_padded_acc
+        phih = fold_padded_acc(phih, n, r)
+        if not cfg.isothermal:
+            heat = fold_padded_acc(heat, n, r)
     return phih, heat, loss, lls_loss, per_src.reshape(-1)[:s]
 
 
@@ -1082,10 +1135,16 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
                                  (n, n, n))
 
     use_pallas = False
+    use_consume = False
     if cfg.sweep_backend == "pallas":
-        from .sweep_pallas import compute_columns_pallas, \
-            pallas_sweep_available
+        from .sweep_pallas import (compute_columns_pallas,
+                                   consume_available,
+                                   pallas_sweep_available)
         use_pallas = pallas_sweep_available(cfg, lls_grid)
+        # fused rate deposition (rate pass + grid rolls + batch sum in
+        # one Pallas program); full-cube path only
+        use_consume = (use_pallas and slab is None
+                       and consume_available(cfg, tables, nflux_xray))
 
     def _to_grid(field, pos):
         """Return the rate field in grid layout: full roll when the field
@@ -1117,6 +1176,16 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
                       if lls_grid is not None else None)
             cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep,
                                            lls_cb=lls_cb)
+            if use_consume:
+                # fused consume kernel: rate physics + grid-frame rolls
+                # + batch accumulation in one program, reading the
+                # SHARED grid-frame ndhi/LLS fields (no per-source
+                # copies ever leave the march)
+                from .sweep_pallas import consume_rates_pallas
+                ph, he, lo, ll = consume_rates_pallas(
+                    cfg, tables, cdo_b, ndhi, lls_grid, pos_b, nf_b,
+                    nfx_b if have_x else None, sc, d_sweep)
+                return ph, he, lo, ll
             res_b = jax.vmap(_slab_rate,
                              in_axes=(0, 0, lls_ax, 0, 0, 0))(
                 cdo_b, ndhi_cb, lls_cb, nf_b, nfx_b, pos_b)
@@ -1144,9 +1213,15 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
         phih_g, heat_g, loss_t, lls_t = carry
         pos, nf, nfx = inp
         ph, he, lo, ll = vsweep(pos, nf, nfx)
-        phih_g = phih_g + jnp.sum(ph, axis=0)
-        if not cfg.isothermal:
-            heat_g = heat_g + jnp.sum(he, axis=0)
+        if use_consume:
+            # the consume kernel already returns the batch-summed grids
+            phih_g = phih_g + ph
+            if not cfg.isothermal:
+                heat_g = heat_g + he
+        else:
+            phih_g = phih_g + jnp.sum(ph, axis=0)
+            if not cfg.isothermal:
+                heat_g = heat_g + jnp.sum(he, axis=0)
         return (phih_g, heat_g, loss_t + jnp.sum(lo),
                 lls_t + jnp.sum(ll)), lo
 

@@ -48,6 +48,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -300,6 +301,323 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
             out_cube, *planes6)
     ar = jnp.arange(b)
     return out_cube.at[ar, c, c, c].set(cdo0)
+
+
+# ---------------------------------------------------------------------------
+# Fused rate-deposition "consume" kernel (round 4)
+#
+# The sweep pass's non-march phases - the N^3 rate pass, the per-source
+# grid-frame roll3 and the batch accumulation - were ~60% of the pass
+# (BENCH_HISTORY round-4 phase profile: rate 17.6 + rolls/sum 24.0 of
+# 102 ms at 256^3 x8).  This kernel runs all three as ONE program over
+# grid (n rows, b sources): for output grid row i and source bi it reads
+# the source's centered coldensh_out plane via a scalar-prefetch index
+# map (the axis-0 roll becomes free block indexing), rotates it in-VMEM
+# to grid frame (tpu.dynamic_rotate), evaluates the exponential-mixture
+# rate physics of evolve0D (evolve_point.F90:151-295) with iota-derived
+# offset coordinates, and accumulates into a single grid-frame phih cube
+# resident in VMEM across the inner source loop.  Per-source boundary /
+# LLS loss tallies accumulate in SMEM scratch.
+#
+# Exact-math contract: every expression replicates _rate_pass +
+# _photoion_expsum_impl (ops/sweep.py, ops/tables.py) term for term, so
+# per-source rates are bitwise-identical to the XLA rate pass; only the
+# batch-sum order can differ (sequential fold here).
+# ---------------------------------------------------------------------------
+
+def _mixture_consts(cfg: RunConfig, tables):
+    """Python-float mixture terms baked into the kernel as constants.
+
+    Returns None when the tables are traced (abstract) - callers fall
+    back to the unfused path."""
+    import numpy as np
+    try:
+        def tup(x):
+            return tuple(float(v) for v in np.asarray(x))
+        a, w, hw = tup(tables.exp_a), tup(tables.exp_w), \
+            tup(tables.heat_exp_w)
+        if cfg.sed.use_xray_sed:
+            xa, xw, xhw = (tup(tables.xray_exp_a), tup(tables.xray_exp_w),
+                           tup(tables.xray_heat_exp_w))
+        else:
+            xa = xw = xhw = ()
+        return (a, w, hw, xa, xw, xhw)
+    except Exception:          # traced tables (abstract values)
+        return None
+
+
+def _expm1_neg(x):
+    """expm1 for x <= 0, kernel-safe (Mosaic has no expm1 lowering).
+
+    6-term Taylor for small |x| (cancellation-free; truncation rel err
+    ~ x^6/5040 < 3e-9 at the 0.17 cutoff), exp(x)-1 beyond (subtraction
+    rel err <= eps/|expm1(-0.17)| ~ 7.6e-7).  Within ~1e-6 relative of
+    XLA's expm1 everywhere on [-80, 0] - the one deviation of the fused
+    consume path from the XLA rate pass (rtol 1e-5 validation gates)."""
+    t = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
+        1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0))))))
+    return jnp.where(x > -0.17, t, jnp.exp(x) - 1.0)
+
+
+def _mix_terms(tau_in, dtau, a, w, hw, tau_pre, dtau_pre, want_heat):
+    """One mixture evaluation, expression-for-expression the unrolled
+    loop of _photoion_expsum_impl (ops/tables.py), with expm1 replaced
+    by the kernel-safe _expm1_neg."""
+    phi_in = jnp.zeros_like(tau_in)
+    phi_cell = jnp.zeros_like(tau_in)
+    heat_acc = jnp.zeros_like(tau_in) if want_heat else None
+    lls_acc = jnp.zeros_like(tau_in) if dtau_pre is not None else None
+    for i in range(len(a)):
+        att = jnp.exp(-jnp.minimum(a[i] * tau_in, 80.0))
+        absorb = att * -_expm1_neg(-jnp.minimum(a[i] * dtau, 80.0))
+        phi_in = phi_in + w[i] * att
+        phi_cell = phi_cell + w[i] * absorb
+        if heat_acc is not None:
+            heat_acc = heat_acc + hw[i] * absorb
+        if lls_acc is not None:
+            att_pre = jnp.exp(-jnp.minimum(a[i] * tau_pre, 80.0))
+            lls_acc = lls_acc + (w[i] * att_pre) * -_expm1_neg(
+                -jnp.minimum(a[i] * dtau_pre, 80.0))
+    return phi_in, phi_cell, heat_acc, lls_acc
+
+
+def _kernel_consume(sref, params_ref, *rest, cfg: RunConfig, n: int, b: int,
+                    mix, max_shell: int, has_lls: bool, has_heat: bool,
+                    use_xray: bool):
+    from .. import constants as const
+    from .sweep import FOURPI
+    c = n // 2
+    pos_max = n - 1 - c
+    sigma = const.SIGMA_HI_AT_ION_FREQ
+    a_t, w_t, hw_t, xa_t, xw_t, xhw_t = mix
+
+    k = 0
+    cdo_ref = rest[k]; k += 1
+    nd_ref = rest[k]; k += 1
+    lls_ref = rest[k] if has_lls else None
+    k += 1 if has_lls else 0
+    out_ref = rest[k]; k += 1
+    heat_ref = rest[k] if has_heat else None
+    k += 1 if has_heat else 0
+    loss_ref = rest[k]; k += 1
+    scratch = rest[k]
+
+    i = pl.program_id(0)
+    bi = pl.program_id(1)
+    sx = sref[bi, 0]
+    sy = sref[bi, 1]
+    sz = sref[bi, 2]
+    nf = params_ref[bi, 0]
+    nfx = params_ref[bi, 1]
+    dr = params_ref[bi, 2]
+    rate_scale = params_ref[bi, 3]
+    lls_scalar = params_ref[bi, 4]
+    rmax2 = params_ref[bi, 5]
+    dtype = out_ref.dtype
+
+    # centered plane of this source at the row matching grid row i,
+    # rotated in-VMEM to grid frame (the roll3 of _to_grid, done once
+    # per (row, source) on a resident block)
+    cdo = pltpu.roll(pltpu.roll(cdo_ref[0, 0], sy - c, 0), sz - c, 1)
+    ndhi = nd_ref[0]
+    lcol = lls_ref[0] if has_lls else lls_scalar
+
+    # centered offsets of grid row i / columns j,k (evolve_point.F90
+    # periodic wrap, :121-124)
+    oi = (i - sx + c) % n - c                              # scalar int
+    oj = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) - sy + c) % n - c
+    ok = (lax.broadcasted_iota(jnp.int32, (1, n), 1) - sz + c) % n - c
+    aoi = jnp.abs(oi)
+    cheb = jnp.maximum(jnp.maximum(aoi, jnp.abs(oj)), jnp.abs(ok))
+    is_src = cheb == 0
+
+    # --- geometry, exactly _rate_pass (ops/sweep.py) ---
+    dom = cheb.astype(dtype)
+    safe_d = jnp.maximum(dom, 1.0)
+    fi = jnp.full((1, 1), oi, dtype)
+    fj = oj.astype(dtype)
+    fk = ok.astype(dtype)
+    dist2 = fi * fi + fj * fj + fk * fk
+    t2 = dist2 - dom * dom
+    path = jnp.sqrt(t2 / (safe_d * safe_d) + 1.0)
+    path = jnp.where(is_src, 0.5, path)
+    vol_ph = FOURPI * dist2 * path
+    vol_ph = jnp.where(is_src, 1.0, vol_ph)
+
+    colcell = ndhi * (path * dr)
+    coldensh_in = jnp.maximum(cdo - colcell, 0.0)
+
+    active = cheb <= max_shell
+    stop = coldensh_in > cfg.max_coldensh
+    if cfg.use_lls and cfg.type_of_lls == 3:
+        stop = stop | (dist2 > rmax2)
+
+    want_lls = cfg.use_lls and cfg.type_of_lls in (1, 2)
+    if want_lls:
+        cold_pre = jnp.maximum(coldensh_in - lcol * path, 0.0)
+        tau_pre = cold_pre * sigma
+        dtau_pre = (coldensh_in - cold_pre) * sigma
+    else:
+        tau_pre = dtau_pre = None
+    tau_in = coldensh_in * sigma
+    dtau = (cdo - coldensh_in) * sigma
+
+    phi_in, phi_cell, heat_acc, lls_acc = _mix_terms(
+        tau_in, dtau, a_t, w_t, hw_t, tau_pre, dtau_pre, has_heat)
+    phi_in = nf * phi_in
+    phi_cell = nf * phi_cell
+    if has_heat:
+        heat_v = nf * heat_acc / vol_ph
+    lls_cell = (nf * lls_acc / vol_ph) if want_lls else None
+    if use_xray:
+        xpi, xpc, xha, xla_ = _mix_terms(
+            tau_in, dtau, xa_t, xw_t, xhw_t, tau_pre, dtau_pre, has_heat)
+        phi_in = phi_in + nfx * xpi
+        phi_cell = phi_cell + nfx * xpc
+        if has_heat:
+            heat_v = heat_v + nfx * xha / vol_ph
+        if want_lls:
+            lls_cell = lls_cell + nfx * xla_ / vol_ph
+    phi_out = phi_in - phi_cell
+    photo_cell = phi_cell / vol_ph
+
+    live = active & ~stop
+    gamma = jnp.where(live, photo_cell * rate_scale / ndhi, 0.0)
+
+    @pl.when(bi == 0)
+    def _():
+        out_ref[0] = gamma
+
+    @pl.when(bi != 0)
+    def _():
+        out_ref[0] += gamma
+
+    if has_heat:
+        heat_dep = jnp.where(live, heat_v, 0.0) * rate_scale
+
+        @pl.when(bi == 0)
+        def _():
+            heat_ref[0] = heat_dep
+
+        @pl.when(bi != 0)
+        def _():
+            heat_ref[0] += heat_dep
+
+    # boundary-of-trace photon loss (evolve_point.F90:290-295)
+    p_lim = min(max_shell, pos_max)
+    q_lim = min(max_shell, c)
+    bnd = ((oi == p_lim) | (oi == -q_lim) | (oj == p_lim) | (oj == -q_lim)
+           | (ok == p_lim) | (ok == -q_lim))
+    loss_i = jnp.sum(jnp.where(live & bnd, phi_out / vol_ph, 0.0))
+    lls_i = (jnp.sum(jnp.where(live, lls_cell, 0.0)) if want_lls
+             else jnp.zeros((), dtype))
+
+    @pl.when(i == 0)
+    def _():
+        scratch[bi, 0] = loss_i
+        scratch[bi, 1] = lls_i
+
+    @pl.when(i != 0)
+    def _():
+        scratch[bi, 0] += loss_i
+        scratch[bi, 1] += lls_i
+
+    @pl.when((i == n - 1) & (bi == b - 1))
+    def _():
+        for q in range(b):
+            loss_ref[q, 0] = scratch[q, 0]
+            loss_ref[q, 1] = scratch[q, 1]
+
+
+def consume_available(cfg: RunConfig, tables, nflux_xray) -> bool:
+    """Gate for the fused consume kernel: pallas backend, expsum-mode
+    rates (f32), lane-aligned mesh for tpu.dynamic_rotate, concrete
+    mixture tables."""
+    n = cfg.mesh[0]
+    f32 = cfg.jnp_dtype == jnp.float32
+    expsum = cfg.rate_eval == "expsum" or (cfg.rate_eval == "auto" and f32)
+    return (cfg.sweep_backend == "pallas" and expsum
+            and n % 256 == 0 and n <= 600
+            and _mixture_consts(cfg, tables) is not None)
+
+
+def consume_rates_pallas(cfg: RunConfig, tables, cdo_b: jax.Array,
+                         ndhi: jax.Array, lls_grid, srcpos_b: jax.Array,
+                         nflux_b: jax.Array, nfx_b, sc: SweepScalars,
+                         max_shell: int, interpret: bool = False):
+    """Fused rate deposition: centered column cubes -> ONE grid-frame
+    phih (+phiheat) cube summed over the batch, plus per-source loss
+    tallies.  Replaces [vmap(_rate_pass) -> vmap(roll3) -> sum(axis=0)].
+
+    cdo_b: (b, n, n, n) source-centered coldensh_out cubes.
+    ndhi / lls_grid: SHARED grid-frame fields (no per-source copies).
+    Returns (phih, phiheat, loss_b, lls_loss_b).
+    """
+    b, n = cdo_b.shape[0], cdo_b.shape[1]
+    c = n // 2
+    dtype = cdo_b.dtype
+    mix = _mixture_consts(cfg, tables)
+    has_lls = (lls_grid is not None and cfg.use_lls
+               and cfg.type_of_lls in (1, 2))
+    has_heat = not cfg.isothermal
+    use_xray = cfg.sed.use_xray_sed and nfx_b is not None
+    if nfx_b is None:
+        nfx_b = jnp.zeros_like(nflux_b)
+
+    params = jnp.stack([
+        nflux_b.astype(dtype), nfx_b.astype(dtype),
+        jnp.broadcast_to(sc.dr, (b,)).astype(dtype),
+        jnp.broadcast_to(sc.rate_scale, (b,)).astype(dtype),
+        jnp.broadcast_to(sc.lls_coldens, (b,)).astype(dtype),
+        jnp.broadcast_to(sc.rmax2_cells, (b,)).astype(dtype),
+    ], axis=1)
+
+    in_specs = [
+        pl.BlockSpec((b, 6), lambda i, bi, sref: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n, n),
+                     lambda i, bi, sref: (bi, (i - sref[bi, 0] + n // 2) % n,
+                                          0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, n), lambda i, bi, sref: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [params, cdo_b, ndhi]
+    if has_lls:
+        in_specs.append(pl.BlockSpec((1, n, n),
+                                     lambda i, bi, sref: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(lls_grid)
+
+    out_specs = [pl.BlockSpec((1, n, n), lambda i, bi, sref: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n, n, n), dtype)]
+    if has_heat:
+        out_specs.append(pl.BlockSpec((1, n, n),
+                                      lambda i, bi, sref: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((n, n, n), dtype))
+    out_specs.append(pl.BlockSpec((b, 2), lambda i, bi, sref: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((b, 2), dtype))
+
+    gspec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(n, b),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((b, 2), dtype)])
+    outs = pl.pallas_call(
+        partial(_kernel_consume, cfg=cfg, n=n, b=b, mix=mix,
+                max_shell=max_shell, has_lls=has_lls, has_heat=has_heat,
+                use_xray=use_xray),
+        grid_spec=gspec, out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(jnp.asarray(srcpos_b, jnp.int32), *inputs)
+    phih = outs[0]
+    heat = outs[1] if has_heat else jnp.zeros((), dtype)
+    loss2 = outs[-1]
+    return phih, heat, loss2[:, 0], loss2[:, 1]
 
 
 def pallas_sweep_available(cfg: RunConfig, lls_c) -> bool:

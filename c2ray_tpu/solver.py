@@ -250,16 +250,29 @@ class Evolve3D:
         fns = self._wchunk_cache.get(radius)
         if fns is None:
             cfg, tables = self.cfg, self.tables
+            from .ops.sweep import use_window_dma
+            dma = use_window_dma(cfg)
 
             def prepass(ndens, xh_av1, lls_grid):
                 return windowed_prepass(cfg, ndens, xh_av1, lls_grid,
-                                        radius)
+                                        radius, lane_margin=dma)
 
             def chunk(ndhi_pad, lls_pad, pos, nf, nfx, sc, acc, heat_acc):
                 return windowed_batch(cfg, tables, ndhi_pad, lls_pad, pos,
-                                      nf, nfx, sc, radius, acc, heat_acc)
+                                      nf, nfx, sc, radius, acc, heat_acc,
+                                      dma=dma)
 
-            fns = (jax.jit(prepass), jax.jit(chunk, donate_argnums=(6, 7)))
+            if dma:
+                from .ops.window_pallas import fold_padded_acc
+
+                def fold_add(grid_acc, acc_pad):
+                    return grid_acc + fold_padded_acc(acc_pad, cfg.mesh[0],
+                                                      radius)
+                fold = jax.jit(fold_add, donate_argnums=(0, 1))
+            else:
+                fold = None
+            fns = (jax.jit(prepass), jax.jit(chunk, donate_argnums=(6, 7)),
+                   dma, fold)
             self._wchunk_cache[radius] = fns
         return fns
 
@@ -321,7 +334,7 @@ class Evolve3D:
                 lls_loss = lls_loss + ll
                 pending.append((idx, ps))
             elif windowed:
-                prepass, chunk_fn = self._windowed_fns(radius)
+                prepass, chunk_fn, dma, fold = self._windowed_fns(radius)
                 ndhi_pad, lls_pad = prepass(ndens, xh_av, lls_grid)
                 chunk = self._window_chunk_size(radius)
                 nchunk = -(-len(idx) // chunk)
@@ -335,15 +348,31 @@ class Evolve3D:
                 pos_p = jnp.asarray(pos_p)
                 flux_p = jnp.asarray(flux_p, dtype)
                 fx_p = jnp.asarray(fx_p, dtype) if have_x else None
+                if dma:
+                    # per-rung PADDED accumulators (block-DMA scatter);
+                    # folded back into the grid rate fields at rung end
+                    from .ops.window_pallas import padded_acc_shape
+                    acc = jnp.zeros(padded_acc_shape(n, radius), dtype)
+                    hacc = (jnp.zeros(padded_acc_shape(n, radius), dtype)
+                            if not cfg.isothermal
+                            else jnp.zeros((), dtype))
+                else:
+                    acc, hacc = phih, heat
                 parts = []
                 for ci in range(nchunk):
                     sl = slice(ci * chunk, (ci + 1) * chunk)
-                    phih, heat, lo, ll, ps = chunk_fn(
+                    acc, hacc, lo, ll, ps = chunk_fn(
                         ndhi_pad, lls_pad, pos_p[sl], flux_p[sl],
-                        fx_p[sl] if have_x else None, sc, phih, heat)
+                        fx_p[sl] if have_x else None, sc, acc, hacc)
                     loss = loss + lo
                     lls_loss = lls_loss + ll
                     parts.append(ps)
+                if dma:
+                    phih = fold(phih, acc)
+                    if not cfg.isothermal:
+                        heat = fold(heat, hacc)
+                else:
+                    phih, heat = acc, hacc
                 ps_all = (jnp.concatenate(parts) if len(parts) > 1
                           else parts[0])
                 pending.append((idx, ps_all))

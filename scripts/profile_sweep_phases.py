@@ -45,8 +45,9 @@ def main():
     from c2ray_tpu.config import test_problem_config
     from c2ray_tpu.ops import sweep as sw
     from c2ray_tpu.ops.sweep import SweepScalars, _rate_pass, \
-        _stage_faces_patch, _unstage_patch, neutral_density, roll3
-    from c2ray_tpu.ops.sweep_pallas import _march_bucket, _march_ladder
+        neutral_density, roll3
+    from c2ray_tpu.ops.sweep_pallas import (_march_bucket, _march_ladder,
+                                            _unstage_six)
     from c2ray_tpu.ops.tables import build_rad_tables
 
     n = args.mesh
@@ -81,28 +82,34 @@ def main():
                                      (n, n, n))
         return jax.vmap(_center)(pos_b)
 
-    @jax.jit
-    def ph_stage(ndhi_cb):
-        return jax.vmap(
-            lambda x: _stage_faces_patch(x, d_lo, d_hi, lo, p))(ndhi_cb)
+    nd = d_hi - d_lo + 1
 
-    def ph_march(ndhi_f, cdo0):
+    @jax.jit
+    def ph_views(ndhi_cb):
+        """The per-face cube views (round-3 I/O design): two whole-batch
+        transposes; x faces read the patch cube directly."""
+        patch = ndhi_cb[:, lo:lo + p, lo:lo + p, lo:lo + p]
+        y_t = jnp.moveaxis(patch, 2, 1)
+        z_t = jnp.moveaxis(patch, 3, 1)
+        return (z_t, z_t, y_t, y_t, patch, patch)
+
+    def ph_march(faces6, cdo0):
         params = jnp.stack([
             jnp.broadcast_to(sc.dr, (b,)).astype(jnp.float32),
             jnp.broadcast_to(sc.lls_coldens, (b,)).astype(jnp.float32),
             cdo0, jnp.zeros((b,), jnp.float32)], axis=1)
         seed = jnp.zeros((b, 6, p, p), jnp.float32)
         seed = seed.at[:, :, p // 2, p // 2].set(cdo0[:, None])
-        return _march_bucket(cfg, params, seed, ndhi_f, None, d_lo, p)
+        return _march_bucket(cfg, params, seed, faces6, None, d_lo, p, nd)
 
     ph_march = jax.jit(ph_march)
 
     @jax.jit
-    def ph_unstage(planes_b, cdo0):
+    def ph_unstage(planes6, cdo0):
         out = jnp.zeros((b, n, n, n), jnp.float32)
         out = jax.vmap(
-            lambda o, pb: _unstage_patch(o, pb, n, d_lo, lo, p))(
-            out, planes_b)
+            lambda o, *pls: _unstage_six(o, pls, n, d_lo, lo, p))(
+            out, *planes6)
         ar = jnp.arange(b)
         return out.at[ar, c, c, c].set(cdo0)
 
@@ -120,8 +127,8 @@ def main():
     # --- run -------------------------------------------------------------
     ndhi_cb = ph_center(ndens, xh, srcpos)
     cdo0 = ndhi_cb[:, c, c, c] * (0.5 * sc.dr)
-    ndhi_f = ph_stage(ndhi_cb)
-    planes = ph_march(ndhi_f, cdo0)
+    faces6 = ph_views(ndhi_cb)
+    planes = ph_march(faces6, cdo0)
     cdo_b = ph_unstage(planes, cdo0)
     res = ph_rate(cdo_b, ndhi_cb, nflux)
     acc = ph_roll(res.phih, srcpos)
@@ -141,9 +148,9 @@ def main():
           f"platform={jax.devices()[0].platform}")
     tot = 0.0
     tot += timed("center (ndhi+pad+slices)", ph_center, ndens, xh, srcpos)
-    tot += timed("stage faces", ph_stage, ndhi_cb)
-    tot += timed("pallas march", ph_march, ndhi_f, cdo0)
-    tot += timed("unstage patch", ph_unstage, planes, cdo0)
+    tot += timed("face views (2 transposes)", ph_views, ndhi_cb)
+    tot += timed("pallas march", ph_march, faces6, cdo0)
+    tot += timed("unstage six", ph_unstage, planes, cdo0)
     tot += timed("rate pass", ph_rate, cdo_b, ndhi_cb, nflux)
     tot += timed("grid rolls + batch sum", ph_roll, res.phih, srcpos)
     print(f"  {'SUM (separate programs)':34s} {tot:8.1f} ms")
