@@ -79,7 +79,8 @@ def full_step_bench(args):
     batch = args.batch if args.batch else min(args.sources, 256)
     cfg = test_problem_config(mesh=n, dtype="float32", use_lls=True,
                               type_of_lls=1, cosmological=False,
-                              sweep_backend=backend, source_batch=batch)
+                              sweep_backend=backend, source_batch=batch,
+                              isothermal=not args.non_isothermal)
     tables = build_rad_tables(cfg)
 
     rng = np.random.default_rng(0)
@@ -93,7 +94,11 @@ def full_step_bench(args):
     # dt ~ a Myr: the reference's typical z-slice substep
     dt = 3.0e13
 
-    solver = Evolve3D(cfg, tables)
+    if args.non_isothermal:
+        from c2ray_tpu.ops.thermal import setup_cool
+        solver = Evolve3D(cfg, tables, cool=setup_cool(cfg))
+    else:
+        solver = Evolve3D(cfg, tables)
     state = initial_state(cfg)
     # half-ionized medium (as in the sweep bench): the chemistry pass
     # relaxes toward equilibrium each step instead of a one-shot flash
@@ -128,7 +133,9 @@ def full_step_bench(args):
                         lls_coldens=jnp.float32(0.0),
                         rmax2_cells=jnp.float32(0.0))
     tail_args = (jnp.float32(dt), ndens, state.xh1, state.xh1, state.xh1,
-                 sc_phih, None, state.temper_current, state.temper_av,
+                 sc_phih,
+                 info.phiheat if args.non_isothermal else None,
+                 state.temper_current, state.temper_av,
                  jnp.float32(1.0), jnp.float32(0.0), sc_t,
                  jnp.float32(0.0), jnp.float32(0.0))
     _jax.block_until_ready(solver._tail(*tail_args, with_stats=True))
@@ -180,6 +187,9 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed "
                          "iterations to DIR")
+    ap.add_argument("--non-isothermal", action="store_true",
+                    help="(--full-step) heating tables + thermal subcycle "
+                         "+ temperature states on the grid")
     ap.add_argument("--full-step", action="store_true",
                     help="benchmark the complete Evolve3D timestep "
                          "(sweep + chemistry + stats + host syncs) "

@@ -126,6 +126,15 @@ class RunConfig:
     max_coldensh: float = 2e19             # evolve_point.F90:95
     max_global_iterations: int = 100       # evolve.F90:228
     max_chemistry_iterations: int = 400    # evolve_point.F90:541
+    # run the whole convergence iteration as ONE device program
+    # (lax.while_loop) in the non-adaptive regime: exactly one host
+    # dispatch+fetch per TIMESTEP instead of one per iteration
+    # (~30 ms/iteration of host round trip on the remote-chip stack);
+    # per-iteration audit scalars come back in a history buffer and the
+    # conservation reports are replayed host-side, so the logs are
+    # unchanged.  Auto-disabled for adaptive/windowed sweeps (host
+    # re-bucketing) and for meshes > 512 (carry memory).
+    on_device_loop: bool = True
 
     # --- subbox / sweep work limiting (:54-67) ---
     subboxsize: int = 5

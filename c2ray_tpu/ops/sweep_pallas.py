@@ -536,7 +536,11 @@ def consume_available(cfg: RunConfig, tables, nflux_xray) -> bool:
     n = cfg.mesh[0]
     f32 = cfg.jnp_dtype == jnp.float32
     expsum = cfg.rate_eval == "expsum" or (cfg.rate_eval == "auto" and f32)
-    return (cfg.sweep_backend == "pallas" and expsum
+    # isothermal only: the has_heat variant (a second accumulated cube
+    # output) hard-crashed the TPU worker at 256^3 in round 4 - the
+    # non-isothermal rate deposition stays on the validated XLA tail
+    # until that is root-caused
+    return (cfg.sweep_backend == "pallas" and expsum and cfg.isothermal
             and n % 256 == 0 and n <= 600
             and _mixture_consts(cfg, tables) is not None)
 

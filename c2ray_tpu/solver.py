@@ -17,6 +17,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import RunConfig
 from .ops.chemistry import global_chemistry
@@ -176,6 +177,9 @@ class Evolve3D:
         self._sum = _sum
         self._lossrate = _lossrate
         self._tail = _tail
+        self._tail_body = _tail               # jitted fn is fine to trace
+        self._rt = rt
+        self._loop_cache = {}                 # device-loop programs
 
     # ------------------------------------------------------------------
     def _radius_ladder(self):
@@ -421,6 +425,204 @@ class Evolve3D:
                         assign + 1, assign)
 
     # ------------------------------------------------------------------
+    def _loop_program(self, with_stats: bool, have_lls: bool,
+                      have_x: bool, have_t: bool):
+        """Jitted whole-convergence-loop program (lax.while_loop over
+        [sweep -> fused tail]); cached per static signature."""
+        key = (with_stats, have_lls, have_x, have_t)
+        fn = self._loop_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        n_cells_f = float(cfg.n_cells)
+        cf = cfg.convergence_fraction
+        max_it = cfg.max_global_iterations
+        k = 8 if with_stats else 4
+        iso = cfg.isothermal
+
+        def program(ndens, xh1, xh_av, xh_int, t_cur, t_av, t_int,
+                    srcpos, nflux, nfx, sc, lls_grid, clump, dt_dev,
+                    coeff_dev, conv_flag0, sum1_0, niter0, crit):
+            dl = sum1_0.dtype
+            S = srcpos.shape[0]
+            n = cfg.mesh[0]
+            dtype = ndens.dtype
+            cube0 = jnp.zeros((n, n, n), dtype)
+            heat0 = cube0 if not iso else jnp.zeros((), dtype)
+            zt = jnp.zeros((), dtype)
+            hist0 = jnp.zeros((max_it + 2, k), dl)
+            big = jnp.asarray(2.0 * n_cells_f, dl)
+            carry0 = (xh_int, xh_av,
+                      t_int if have_t else zt, t_av if have_t else zt,
+                      xh_int, xh_av,
+                      t_int if have_t else zt, t_av if have_t else zt,
+                      cube0, heat0, jnp.zeros((S,), dl),
+                      big, big, sum1_0,
+                      jnp.asarray(conv_flag0, dl), niter0,
+                      jnp.asarray(0, jnp.int32), hist0)
+
+            def cond(c):
+                sum1 = c[13]
+                sum0 = n_cells_f - sum1
+                rel1 = jnp.where(sum1 > 0, jnp.abs(sum1 - c[11]) / sum1,
+                                 jnp.ones((), sum1.dtype))
+                rel0 = jnp.where(sum0 > 0, jnp.abs(sum0 - c[12]) / sum0,
+                                 jnp.ones((), sum1.dtype))
+                conv = (c[14] < crit.astype(c[14].dtype)) | \
+                    ((rel1 < cf) & (rel0 < cf))
+                return (~conv) & (c[15] <= max_it)
+
+            def body(c):
+                (xh_int, xh_av, t_int_c, t_av_c, _, _, _, _, _, _, _,
+                 _, _, sum1, _, niter, it, hist) = c
+                prev1 = sum1
+                prev0 = n_cells_f - sum1
+                phih, phiheat, ploss, llsl, psrc = self._rt_call(
+                    ndens, xh_av, srcpos, nflux, sc, lls_grid,
+                    nfx if have_x else None)
+                (xh_int2, xh_av2, t_int2, t_av2, packed) = self._tail(
+                    dt_dev, ndens, xh1, xh_int, xh_av, phih,
+                    phiheat if not iso else None,
+                    t_cur if have_t else None,
+                    t_av_c if have_t else None,
+                    clump, coeff_dev, sc, ploss, llsl,
+                    with_stats=with_stats)
+                hist2 = hist.at[it].set(packed)
+                return (xh_int2, xh_av2,
+                        t_int2 if have_t else t_int_c,
+                        t_av2 if have_t else t_av_c,
+                        xh_int, xh_av, t_int_c, t_av_c,
+                        phih, phiheat if not iso else jnp.zeros((), dtype),
+                        psrc.astype(dl),
+                        prev1, prev0, packed[1], packed[0],
+                        niter + 1, it + 1, hist2)
+
+            final = lax.while_loop(cond, body, carry0)
+            (xh_int_f, xh_av_f, t_int_f, t_av_f, xh_int_p, xh_av_p,
+             t_int_p, t_av_p, phih_f, phiheat_f, psrc_f, prev1, prev0,
+             sum1_f, convf, niter_f, it_f, hist_f) = final
+            dlv = sum1_f.dtype
+            scal = jnp.stack([sum1_f, convf, niter_f.astype(dlv),
+                              it_f.astype(dlv), prev1, prev0])
+            flat = jnp.concatenate([scal, hist_f.ravel(),
+                                    psrc_f.astype(dlv)])
+            return (xh_int_f, xh_av_f, t_int_f, t_av_f, xh_int_p,
+                    xh_av_p, t_int_p, t_av_p, phih_f, phiheat_f, flat)
+
+        fn = jax.jit(program)
+        self._loop_cache[key] = fn
+        return fn
+
+    def _rt_call(self, ndens, xh_av, srcpos, nflux, sc, lls_grid, nfx):
+        """Un-jitted sweep call (traced inside the device loop)."""
+        from .ops.sweep import raytrace_all_sources
+        rt = self._rt
+        return rt(self.cfg, self.tables, ndens, xh_av, srcpos, nflux, sc,
+                  lls_grid=lls_grid, nflux_xray=nfx)
+
+    def _evolve_device_loop(self, cfg, state, ndens, dr_proper, srcpos,
+                            nflux, nfx, sc, clump, lls_grid, dt_dev,
+                            coeff_dev, dt, vol, xh1, xh_int, xh_av, t_cur,
+                            t_av, t_int, niter0, conv_flag0, sum1_0,
+                            conv_criterion, num_src, total_flux, stats,
+                            with_stats, last_stat4, dumper, clocks,
+                            photon_loss0, lls_loss0):
+        """Whole-timestep device convergence loop + host-side replay of
+        the per-iteration conservation reports and Timings stamps."""
+        n_cells = cfg.n_cells
+        k = 8 if with_stats else 4
+        have_t = not cfg.isothermal
+        prog = self._loop_program(with_stats, lls_grid is not None,
+                                  nfx is not None, have_t)
+        if sum1_0 is None:
+            sum1_dev = self._sum(xh_int)
+        else:
+            sum1_dev = jnp.asarray(sum1_0, cfg.jnp_dtype)
+        out = prog(ndens, xh1, xh_av, xh_int, t_cur, t_av, t_int,
+                   srcpos, nflux,
+                   nfx if nfx is not None else jnp.zeros_like(nflux),
+                   sc, lls_grid, clump, dt_dev, coeff_dev,
+                   jnp.asarray(conv_flag0, jnp.int32),
+                   sum1_dev, jnp.asarray(niter0, jnp.int32),
+                   jnp.asarray(conv_criterion, jnp.int32))
+        (xh_int_f, xh_av_f, t_int_f, t_av_f, xh_int_p, xh_av_p,
+         t_int_p, t_av_p, phih_f, phiheat_f, flat) = out
+
+        got = np.asarray(flat)            # the ONE blocking fetch
+        sum1 = float(got[0])
+        conv_flag = int(got[1])
+        niter = int(got[2])
+        it_count = int(got[3])
+        prev1, prev0 = float(got[4]), float(got[5])
+        max_rows = cfg.max_global_iterations + 2
+        hist = got[6:6 + max_rows * k].reshape(max_rows, k)
+        psrc = got[6 + max_rows * k:].astype(np.float64)
+
+        # host-side replay: per-iteration conservation reports + Timings
+        # stamps, identical streams to the host-driven loop
+        last_report = {}
+        photon_loss, lls_loss = photon_loss0, lls_loss0
+        stat4 = last_stat4
+        for row in hist[:it_count]:
+            photon_loss, lls_loss = float(row[2]), float(row[3])
+            if with_stats:
+                stat4 = tuple(float(v) for v in row[4:8])
+                stats.calculate(GridCounts(stat4[0], stat4[1], 0.0, 0.0),
+                                GridCounts(0.0, 0.0, stat4[2], stat4[3]),
+                                vol, dt)
+                last_report = stats.report(dt, photon_loss, lls_loss,
+                                           total_flux)
+        if clocks is not None:
+            for i in range(niter - it_count + 1, niter + 1):
+                clocks.stamp(f"Time after iteration {i}")
+
+        # wall-clock iterdump (the dump carries the final iteration's
+        # pre-chemistry iterates + rate grids, as in the host loop)
+        if dumper is not None and it_count > 0:
+            dumper.maybe_dump(niter, photon_loss, phih_f, xh_av_p,
+                              xh_int_p,
+                              phiheat_f if have_t else None,
+                              t_int_p if have_t else None,
+                              t_av_p if have_t else None)
+
+        # final convergence classification (host replication of cond)
+        sum0 = float(n_cells) - sum1
+        rel1 = abs(sum1 - prev1) / sum1 if sum1 > 0 else 1.0
+        rel0 = abs(sum0 - prev0) / sum0 if sum0 > 0 else 1.0
+        converged = conv_flag < conv_criterion or (
+            rel1 < cfg.convergence_fraction
+            and rel0 < cfg.convergence_fraction)
+
+        if stats is not None:
+            if stat4 is None:
+                ca = self._counts(ndens, xh_int_f, t_av_f if have_t
+                                  else t_av, clump)
+                cr = self._counts(ndens, xh_av_f, t_av_f if have_t
+                                  else t_av, clump)
+                stats.calculate(ca, cr, vol, dt)
+            else:
+                stats.calculate(GridCounts(stat4[0], stat4[1], 0.0, 0.0),
+                                GridCounts(0.0, 0.0, stat4[2], stat4[3]),
+                                vol, dt)
+            last_report = stats.report(dt, photon_loss, lls_loss,
+                                       total_flux)
+            stats.update_grandtotal(dt, total_flux)
+
+        new_state = GridState(
+            xh1=xh_int_f,
+            temper_current=t_int_f if have_t else None,
+            temper_av=t_av_f if have_t else None,
+            temper_intermed=t_int_f if have_t else None)
+        per_src = psrc[:num_src]
+        info = EvolveInfo(
+            niter=niter, conv_flag=conv_flag, converged=converged,
+            mean_xh1=sum1 / n_cells, photon_loss=photon_loss,
+            lls_loss=lls_loss, per_source_loss=per_src,
+            photon_stats=last_report, phih=phih_f,
+            phiheat=phiheat_f if have_t else None)
+        return new_state, info
+
+    # ------------------------------------------------------------------
     def evolve3d(self, state: GridState, ndens_proper: jax.Array,
                  dr_proper: float, srcpos, nflux, dt: float,
                  clumping=1.0, lls_coldens: float = 0.0,
@@ -547,6 +749,32 @@ class Evolve3D:
                 _apply_stat4(last_stat4)
                 last_report = stats.report(dt, photon_loss, lls_loss,
                                            total_flux)
+
+        # ------------------------------------------------------------------
+        # on-device convergence loop (round 4, VERDICT item 8): in the
+        # non-adaptive regime the whole [sweep -> fused tail] iteration
+        # runs as ONE lax.while_loop program - a single host dispatch +
+        # fetch per TIMESTEP instead of one ~30 ms round trip per
+        # iteration.  Per-iteration audit scalars come back in a history
+        # buffer; the conservation reports and Timings stamps are
+        # replayed host-side so the output streams are unchanged.
+        # eligibility: adaptive sweeps re-bucket on the host; verbose
+        # wants per-iteration prints; a dump due within the next minute
+        # falls back to the host loop (which dumps per iteration), so
+        # the 15-minute checkpoint cadence survives slow steps
+        import time as _time
+        dump_ok = (dumper is None or not getattr(dumper, "enabled", False)
+                   or (_time.time() - dumper._last_wall)
+                   < dumper.interval_s - 60.0)
+        if (cfg.on_device_loop and not use_adaptive and not verbose
+                and dump_ok and cfg.mesh[0] <= 512):
+            return self._evolve_device_loop(
+                cfg, state, ndens_proper, dr_proper, srcpos, nflux, nfx,
+                sc, clump, lls_grid, dt_dev, coeff_dev, dt, vol,
+                xh1, xh_int, xh_av, t_cur, t_av, t_int, niter,
+                conv_flag, sum1, conv_criterion, num_src, total_flux,
+                stats, with_stats, last_stat4, dumper, clocks,
+                photon_loss, lls_loss)
 
         while True:
             # convergence tests (evolve.F90:179-233)

@@ -65,6 +65,44 @@ def test_consume_kernel_matches_rate_pass_interpret():
                                np.asarray(res.lls_loss), rtol=2e-5)
 
 
+def test_consume_kernel_heat_interpret():
+    """Non-isothermal consume kernel: the heating deposition matches the
+    XLA rate pass (interpret mode)."""
+    from c2ray_tpu.ops.sweep_pallas import consume_rates_pallas
+
+    n, b = 32, 2
+    cfg = make_config(mesh=n, dtype="float32", use_lls=True,
+                      type_of_lls=1, cosmological=False, isothermal=False,
+                      sweep_backend="pallas", source_batch=b)
+    tables = build_rad_tables(cfg)
+    rng = np.random.default_rng(11)
+    srcpos = jnp.asarray(rng.integers(0, n, (b, 3)), jnp.int32)
+    nflux = jnp.asarray(10.0 ** rng.uniform(4, 6, b), jnp.float32)
+    ndens = jnp.asarray(rng.uniform(1e-4, 3e-4, (n,) * 3).astype(np.float32))
+    xh = jnp.asarray(rng.uniform(0.1, 0.9, (n,) * 3).astype(np.float32))
+    dr = 2.9e24 / (n / 64)
+    sc = SweepScalars(dr=jnp.float32(dr),
+                      rate_scale=jnp.float32(cfg.sed.s_star / dr**3),
+                      lls_coldens=jnp.float32(1e16),
+                      rmax2_cells=jnp.float32(0.0))
+    c = n // 2
+    ndhi = neutral_density(cfg, ndens, xh)
+    cdo_b = jnp.asarray(np.cumsum(
+        rng.uniform(1e15, 2e16, (b, n, n, n)), axis=3).astype(np.float32))
+
+    res = jax.vmap(lambda cd, p, f: _rate_pass(
+        cfg, tables, cd, roll3(ndhi, c - p), f, sc, sc.lls_coldens,
+        c))(cdo_b, srcpos, nflux)
+    heat_ref = jnp.sum(jax.vmap(lambda g, p: roll3(g, p - c))(
+        res.phiheat, srcpos), axis=0)
+
+    _, heat, _, _ = consume_rates_pallas(
+        cfg, tables, cdo_b, ndhi, None, srcpos, nflux, None, sc, c,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(heat), np.asarray(heat_ref),
+                               rtol=2e-5, atol=0)
+
+
 def test_window_dma_kernels_interpret():
     """window_gather == vmapped dynamic_slice; window_scatter_add +
     fold_padded_acc == the mod-N scatter-add (interpret mode)."""

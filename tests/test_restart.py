@@ -65,13 +65,21 @@ def test_iter_restart_resumes(tmp_path):
 
     # uninterrupted run
     s_full, info_full = solver.evolve3d(state, ndens, 2.9e24, src, nflux, dt)
+    assert info_full.niter > 6
 
-    # interrupted: dump every iteration, resume from the dump
+    # interrupted mid-convergence: a run capped at fewer iterations
+    # writes its dump (the "crash" point), then the full solver resumes
+    # from it and must land on the uninterrupted answer - the resumed
+    # trajectory re-runs the pending chemistry pass and continues with
+    # identical iterates (start_from_dump, evolve.F90:328-426)
+    cfg_cut = make_config(mesh=n, dtype="float64", use_lls=False,
+                          cosmological=False, max_global_iterations=5)
+    solver_cut = Evolve3D(cfg_cut, tabs)
     dumper = IterDumper(dump_dir=str(tmp_path), interval_s=0.0)
-    solver.evolve3d(state, ndens, 2.9e24, src, nflux, dt, dumper=dumper)
-    # pick whichever dump was written mid-run and restart from it
+    solver_cut.evolve3d(state, ndens, 2.9e24, src, nflux, dt, dumper=dumper)
     which = 1 if os.path.exists(tmp_path / "iterdump1.npz") else 2
     loaded = IterDumper.load(str(tmp_path), which)
+    assert int(loaded["niter"]) < info_full.niter
     s_res, info_res = solver.evolve3d(state, ndens, 2.9e24, src, nflux, dt,
                                       iter_restart=loaded)
     np.testing.assert_allclose(np.asarray(s_res.xh1), np.asarray(s_full.xh1),

@@ -64,7 +64,12 @@ class TestIterdumpRateGrids:
         assert "phih" in loaded and loaded["phih"].shape == (n, n, n)
         k = int(loaded["niter"])
 
-        solver, events = _counting_solver(cfg, tabs)
+        # dispatch-order property of the HOST-driven loop (the device
+        # while_loop runs every post-resume iteration as one program, so
+        # per-iteration dispatch counting only applies here)
+        cfg_host = make_config(mesh=n, dtype="float64", use_lls=False,
+                               cosmological=False, on_device_loop=False)
+        solver, events = _counting_solver(cfg_host, tabs)
         s_res, info_res = solver.evolve3d(state, ndens, 2.9e24, src, nflux,
                                           dt, iter_restart=loaded)
         # first dispatched pass after the restore is CHEMISTRY (the
@@ -74,6 +79,16 @@ class TestIterdumpRateGrids:
         # restored one
         assert events.count("sweep") == info_res.niter - k
         np.testing.assert_allclose(np.asarray(s_res.xh1),
+                                   np.asarray(s_full.xh1), rtol=1e-10)
+
+        # the device-loop path resumes identically (pending chemistry,
+        # no redundant re-sweep by construction: the whole continuation
+        # is one program)
+        solver_dev = Evolve3D(cfg, tabs)
+        s_dev, info_dev = solver_dev.evolve3d(state, ndens, 2.9e24, src,
+                                              nflux, dt,
+                                              iter_restart=loaded)
+        np.testing.assert_allclose(np.asarray(s_dev.xh1),
                                    np.asarray(s_full.xh1), rtol=1e-10)
 
 
