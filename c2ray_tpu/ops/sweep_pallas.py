@@ -417,8 +417,11 @@ def _kernel_consume(sref, params_ref, *rest, cfg: RunConfig, n: int, b: int,
 
     # centered plane of this source at the row matching grid row i,
     # rotated in-VMEM to grid frame (the roll3 of _to_grid, done once
-    # per (row, source) on a resident block)
-    cdo = pltpu.roll(pltpu.roll(cdo_ref[0, 0], sy - c, 0), sz - c, 1)
+    # per (row, source) on a resident block).  Shifts kept NONNEGATIVE:
+    # tpu.dynamic_rotate corrupts data for negative dynamic shifts on
+    # some shapes (window_pallas.py gather, caught round 4)
+    cdo = pltpu.roll(pltpu.roll(cdo_ref[0, 0], (sy - c) % n, 0),
+                     (sz - c) % n, 1)
     ndhi = nd_ref[0]
     lcol = lls_ref[0] if has_lls else lls_scalar
 

@@ -86,8 +86,13 @@ def _gather_kernel(sref, field_ref, out_ref, scratch, sem, *, p, sb, lb):
         scratch, sem)
     cp.start()
     cp.wait()
-    blk = pltpu.roll(scratch[...], -(q1 - a1), 1)
-    blk = pltpu.roll(blk, -(q2 - a2), 2)
+    # backward roll expressed with NONNEGATIVE shifts: tpu.dynamic_rotate
+    # silently corrupts data for negative dynamic shift values on
+    # hardware (caught by the validate_tpu windowed gate, round 4 - the
+    # interpret-mode emulation handles negatives, so only the on-chip
+    # gate sees it)
+    blk = pltpu.roll(scratch[...], (sb - (q1 - a1)) % sb, 1)
+    blk = pltpu.roll(blk, (lb - (q2 - a2)) % lb, 2)
     out_ref[0] = blk[:, 0:p, 0:p]
 
 

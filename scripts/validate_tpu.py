@@ -14,8 +14,11 @@ Takes ~5-10 min of compiles on a cold cache; do not run concurrently
 with other TPU processes.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
