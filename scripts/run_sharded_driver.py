@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/c2ray_sharded_run")
     ap.add_argument("--sources", type=int, default=8)
     ap.add_argument("--flux", type=float, default=1e56)
+    ap.add_argument("--z2", type=float, default=8.95,
+                    help="second redshift slice; closer to 9.0 = shorter "
+                         "dt = fewer convergence iterations (use ~8.995 "
+                         "for a fast acceptance run on the CPU mesh)")
     args = ap.parse_args()
 
     from c2ray_tpu.config import test_problem_config
@@ -82,8 +86,9 @@ def main():
               f"in {time.time() - t0:.0f}s", flush=True)
 
     # a close slice pair keeps dt (and the convergence-iteration count)
-    # production-typical (~15 Myr, a few cells of front motion per step)
-    (lambda p: open(p, "w").write("2\n9.000\n8.950\n"))(
+    # bounded: fronts move few cells per step, so the 1e-4 relative
+    # convergence criterion is met in a handful of iterations
+    (lambda p: open(p, "w").write(f"2\n9.000\n{args.z2:5.3f}\n"))(
         os.path.join(wd, "redshifts.dat"))
     rng = np.random.default_rng(7)
     with open(os.path.join(wd, "9.000-coarsest_sources.dat"), "w") as f:
@@ -99,7 +104,8 @@ def main():
                          os.path.join(wd, "redshifts.dat"),
                          dir_dens=wd + "/", dir_src=wd + "/")
     dc = DriverConfig(number_timesteps=1, number_outputs=1, uv_recipe=7,
-                      results_dir=os.path.join(wd, "results") + "/")
+                      results_dir=os.path.join(wd, "results") + "/",
+                      dump_dir=wd + "/")
     lay = ParallelLayout(kind="halo", n_dom=8)
     drv = C2RayDriver(cfg, adapter=ad, driver_cfg=dc, layout=lay)
     print(f"driver init done at {time.time() - t0:.0f}s "
