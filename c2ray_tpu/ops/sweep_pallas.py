@@ -57,7 +57,7 @@ from .sweep import SweepScalars, _wavefront_plane_update
 
 
 def _kernel(params_ref, seed_ref, *rest, cfg: RunConfig, n: int,
-            d_lo: int, has_lls: bool):
+            d_lo: int, has_lls: bool, mask_outputs: bool = False):
     # rest = 6 ndhi face refs [+ 6 lls face refs] + 6 out refs + prev scratch
     nd_refs = rest[0:6]
     if has_lls:
@@ -91,8 +91,25 @@ def _kernel(params_ref, seed_ref, *rest, cfg: RunConfig, n: int,
     # HIGHEST) - bitwise-identical planes, ~400x less MXU work
     new = _wavefront_plane_update(prev_ref[...], ndhi_p, lcol,
                                   d, cfg, dr, n, rowfix=True)
-    for f in range(6):
-        out_refs[f][0, 0] = new[f]
+    if mask_outputs:
+        # pre-apply the cell-ownership partition (face_ownership_masks
+        # in plane coordinates) so the unstage step becomes pure ADDs of
+        # disjoint-support slabs - no mask constant reads, no select
+        # chains.  The UNMASKED planes still seed the next shell via the
+        # scratch, so the march chain is unchanged; only valid only for
+        # single-bucket ladders (multi-bucket seeds reuse output planes).
+        c = n // 2
+        ita = lax.broadcasted_iota(jnp.int32, (n, 1), 0) - c
+        itb = lax.broadcasted_iota(jnp.int32, (1, n), 1) - c
+        aa, ab = jnp.abs(ita), jnp.abs(itb)
+        own = [(aa <= d) & (ab <= d), (aa <= d) & (ab <= d),
+               (aa <= d) & (ab < d), (aa <= d) & (ab < d),
+               (aa < d) & (ab < d), (aa < d) & (ab < d)]
+        for f in range(6):
+            out_refs[f][0, 0] = jnp.where(own[f], new[f], 0.0)
+    else:
+        for f in range(6):
+            out_refs[f][0, 0] = new[f]
     prev_ref[...] = new
 
 
@@ -134,7 +151,7 @@ def _face_specs(p: int, nd: int, d_lo: int, cc: int):
 
 
 def _march_bucket(cfg: RunConfig, params, seed, faces6, lls6,
-                  d_lo: int, p: int, nd: int):
+                  d_lo: int, p: int, nd: int, mask_outputs: bool = False):
     """One pallas_call over (batch, shells of this bucket).
 
     faces6 / lls6: per-face cube views in face-normal-major axis order
@@ -172,7 +189,8 @@ def _march_bucket(cfg: RunConfig, params, seed, faces6, lls6,
                            out_pos, out_neg)]
     out_shapes = [jax.ShapeDtypeStruct((b, nd, p, p), dtype)] * 6
     return pl.pallas_call(
-        partial(_kernel, cfg=cfg, n=p, d_lo=d_lo, has_lls=has_lls),
+        partial(_kernel, cfg=cfg, n=p, d_lo=d_lo, has_lls=has_lls,
+                mask_outputs=mask_outputs),
         grid=(b, nd),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -192,6 +210,33 @@ def _march_bucket(cfg: RunConfig, params, seed, faces6, lls6,
 # cell-ownership partition shared with the XLA backend (sweep.py
 # face_ownership_masks): both backends must keep an identical partition
 from .sweep import face_ownership_masks as _own_masks  # noqa: E402
+
+
+def _unstage_six_sum(out: jax.Array, faces, n: int, d_lo: int,
+                     lo: int, p: int) -> jax.Array:
+    """Merge KERNEL-PRE-MASKED per-face plane arrays by pure addition:
+    the ownership partition is disjoint and already applied in-kernel
+    (mask_outputs=True), so each cell receives exactly one nonzero
+    contribution - no mask constants, no select chains.  Bitwise-equal
+    to _unstage_six on masked inputs (adding exact zeros)."""
+    c = n // 2
+    pos_max = n - 1 - c
+    nd = faces[0].shape[0]
+    d_hi = d_lo + nd - 1
+    geom = [(0, 2, 1), (1, 2, -1), (2, 1, 1), (3, 1, -1),
+            (4, 0, 1), (5, 0, -1)]
+    for f, ax, s in geom:
+        hi = min(d_hi, pos_max if s > 0 else c)
+        if hi < d_lo:
+            continue
+        cnt = hi - d_lo + 1
+        slab = faces[f][0:cnt] if s > 0 else faces[f][nd - cnt:nd]
+        slab = jnp.moveaxis(slab, 0, ax)
+        region = [slice(lo, lo + p)] * 3
+        region[ax] = (slice(c + d_lo, c + hi + 1) if s > 0
+                      else slice(c - hi, c - d_lo + 1))
+        out = out.at[tuple(region)].add(slab)
+    return out
 
 
 def _unstage_six(out: jax.Array, faces, n: int, d_lo: int,
@@ -272,6 +317,10 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
         return (z_t, z_t, y_t, y_t, patch, patch)
 
     ladder = _march_ladder(max_shell, n)
+    # single-bucket ladders (the production default) pre-mask ownership
+    # in-kernel so the unstage is pure adds; multi-bucket ladders reuse
+    # output planes as next-bucket seeds and need them unmasked
+    masked = len(ladder) == 1
     out_cube = jnp.zeros((b, n, n, n), dtype)
     prev = None                      # (B, 6, p_prev, p_prev) final planes
     p_prev = 0
@@ -290,14 +339,15 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
                                   (off, p - p_prev - off),
                                   (off, p - p_prev - off)))
         planes6 = _march_bucket(cfg, params, seed, faces6, lls6,
-                                d_lo, p, nd)
+                                d_lo, p, nd, mask_outputs=masked)
         # final-shell planes seed the next bucket (negative faces are
         # shell-reversed: their last shell is array row 0)
         prev = jnp.stack([planes6[f][:, -1 if f % 2 == 0 else 0]
                           for f in range(6)], axis=1)
         p_prev = p
+        merge = _unstage_six_sum if masked else _unstage_six
         out_cube = jax.vmap(
-            lambda o, *pls: _unstage_six(o, pls, n, d_lo, lo, p))(
+            lambda o, *pls: merge(o, pls, n, d_lo, lo, p))(
             out_cube, *planes6)
     ar = jnp.arange(b)
     return out_cube.at[ar, c, c, c].set(cdo0)
