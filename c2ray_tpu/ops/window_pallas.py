@@ -27,9 +27,9 @@ work than the per-element index engine.
 
 Wraparound is handled OUTSIDE the kernels: rates accumulate into a
 PADDED (n+2r)-extent grid (windows never wrap in padded coordinates;
-the lane axis carries an extra tile margin so covering blocks stay in
-bounds) and the pad ring is folded back mod-N once per sweep pass
-(fold_padded_acc).
+both tiled axes carry an extra tile margin so covering blocks stay in
+bounds for ANY n, r) and the pad ring is folded back mod-N once per
+sweep pass (fold_padded_acc).
 """
 
 from __future__ import annotations
@@ -64,14 +64,27 @@ def lane_extent(n: int, r: int) -> int:
     return max(n + 2 * r, 128 * ((n - 1) // 128) + lb)
 
 
+def sublane_extent(n: int, r: int) -> int:
+    """Sublane-axis (axis 1) extent so every covering block stays in
+    bounds: the aligned start for the largest corner (n-1) plus the
+    sublane block.  Equals n+2r only when n%8==0 and r%4==0 — for any
+    other mesh/radius the covering block would run past the (n+2r)
+    padded extent (advisor round-4 high finding: OOB DMA at e.g. r=6)."""
+    p = 2 * r + 1
+    sb, _ = _block_dims(p)
+    return max(n + 2 * r, 8 * ((n - 1) // 8) + sb)
+
+
 def with_lane_margin(field_pad: Array, n: int, r: int) -> Array:
-    """Zero-extend the (n+2r)^3 padded field's last axis to
-    lane_extent(n, r) (margin lanes are never consumed)."""
-    ext = lane_extent(n, r)
-    m = ext - field_pad.shape[-1]
-    if m <= 0:
+    """Zero-extend the (n+2r)^3 padded field's tiled axes to
+    sublane_extent/lane_extent (margin rows/lanes are never consumed —
+    gathers only read the (p,p,p) corner, scatters add zeros there)."""
+    m1 = sublane_extent(n, r) - field_pad.shape[1]
+    m2 = lane_extent(n, r) - field_pad.shape[-1]
+    if m1 <= 0 and m2 <= 0:
         return field_pad
-    return jnp.pad(field_pad, ((0, 0), (0, 0), (0, m)))
+    return jnp.pad(field_pad,
+                   ((0, 0), (0, max(m1, 0)), (0, max(m2, 0))))
 
 
 def _gather_kernel(sref, field_ref, out_ref, scratch, sem, *, p, sb, lb):
@@ -172,8 +185,9 @@ def window_scatter_add(acc_pad: Array, rates: Array, pos: Array,
 
 
 def padded_acc_shape(n: int, r: int) -> Tuple[int, int, int]:
-    """Accumulator allocation for the DMA scatter path."""
-    return (n + 2 * r, n + 2 * r, lane_extent(n, r))
+    """Accumulator allocation for the DMA scatter path (both tiled axes
+    carry the covering-block margin)."""
+    return (n + 2 * r, sublane_extent(n, r), lane_extent(n, r))
 
 
 def fold_padded_acc(acc_pad: Array, n: int, radius: int) -> Array:

@@ -162,6 +162,12 @@ def replicate_to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
+# module-level jitted slicer: traces once per (shape, kc), not once per
+# z-block of every cube write (advisor round-4 finding)
+_jit_zslice = jax.jit(jax.lax.dynamic_slice_in_dim,
+                      static_argnames=("slice_size", "axis"))
+
+
 def z_chunks(arr, k_chunk: int = 32) -> Iterator[np.ndarray]:
     """Host (N1, N2, kc) z-blocks of a (possibly sharded) grid array.
 
@@ -177,9 +183,7 @@ def z_chunks(arr, k_chunk: int = 32) -> Iterator[np.ndarray]:
         n3 = arr.shape[2]
         for k0 in range(0, n3, k_chunk):
             kc = min(k_chunk, n3 - k0)
-            blk = jax.jit(jax.lax.dynamic_slice_in_dim,
-                          static_argnames=("slice_size", "axis"))(
-                arr, k0, slice_size=kc, axis=2)
+            blk = _jit_zslice(arr, k0, slice_size=kc, axis=2)
             yield np.asarray(multihost_utils.process_allgather(blk,
                                                                tiled=True))
         return

@@ -766,6 +766,15 @@ class Evolve3D:
         dump_ok = (dumper is None or not getattr(dumper, "enabled", False)
                    or (_time.time() - dumper._last_wall)
                    < dumper.interval_s - 60.0)
+        if dumper is not None and jax.process_count() > 1:
+            # multi-process run: ranks near the interval threshold (or
+            # with the dumper enabled on the I/O rank only) would
+            # disagree on dump_ok and split between the device-loop and
+            # host-loop programs, mismatching SPMD collectives — decide
+            # on the I/O rank and broadcast (advisor round-4 finding)
+            from .parallel import multihost as mh
+            dump_ok = mh.broadcast_obj(dump_ok if mh.is_io_rank()
+                                       else None)
         if (cfg.on_device_loop and not use_adaptive and not verbose
                 and dump_ok and cfg.mesh[0] <= 512):
             return self._evolve_device_loop(

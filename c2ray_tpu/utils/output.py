@@ -206,12 +206,21 @@ class OutputWriter:
 
         import jax
         if isinstance(xh1, jax.Array) and not isinstance(xh1, np.ndarray):
-            # device reductions (sharded grids never come to the host)
-            import jax.numpy as jnp
-            ndx = float(jnp.sum(ndens * xh1))
+            # float64 accumulation via per-z-block host partial sums (the
+            # grid dtype is f32 in production — a whole-cube f32 sum
+            # drifts at ~1e9 cells; z_chunks is SPMD-collective-safe for
+            # multi-process sharded grids).  Advisor round-4 finding.
+            from ..parallel.layout import z_chunks
+            ndx = sx = snd = 0.0
+            for nd_b, x_b in zip(z_chunks(ndens), z_chunks(xh1)):
+                nd64 = np.asarray(nd_b, np.float64)
+                x64 = np.asarray(x_b, np.float64)
+                ndx += float((nd64 * x64).sum())
+                sx += float(x64.sum())
+                snd += float(nd64.sum())
             totions = ndx * vol
-            volfrac = float(jnp.sum(xh1)) / n_cells
-            massfrac = ndx / float(jnp.sum(ndens))
+            volfrac = sx / n_cells
+            massfrac = ndx / snd
         else:
             nd = np.asarray(ndens, np.float64)
             x1 = np.asarray(xh1, np.float64)

@@ -103,14 +103,21 @@ def test_consume_kernel_heat_interpret():
                                rtol=2e-5, atol=0)
 
 
-def test_window_dma_kernels_interpret():
+@pytest.mark.parametrize("n,r", [
+    (24, 4),   # n%8==0, r%4==0: covering blocks align with n+2r exactly
+    (32, 6),   # r%4!=0: sublane block overruns without the axis-1 margin
+    (30, 4),   # n%8!=0: aligned block start overruns without the margin
+])
+def test_window_dma_kernels_interpret(n, r):
     """window_gather == vmapped dynamic_slice; window_scatter_add +
-    fold_padded_acc == the mod-N scatter-add (interpret mode)."""
+    fold_padded_acc == the mod-N scatter-add (interpret mode).  The
+    misaligned (n, r) cases pin the round-4 advisor finding: covering
+    blocks must stay inside the sublane margin for any mesh/radius."""
     from jax import lax
 
     from c2ray_tpu.ops import window_pallas as wp
 
-    n, b, r = 24, 7, 4
+    b = 7
     p = 2 * r + 1
     rng = np.random.default_rng(3)
     field = rng.normal(size=(n, n, n)).astype(np.float32)
