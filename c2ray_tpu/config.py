@@ -135,6 +135,12 @@ class RunConfig:
     # unchanged.  Auto-disabled for adaptive/windowed sweeps (host
     # re-bucketing) and for meshes > 512 (carry memory).
     on_device_loop: bool = True
+    # request REAL per-iteration wall-clock in Timings.log: the device
+    # loop's stamps are replayed at loop exit (format parity only), so
+    # with this flag and a Clocks sink the host-driven loop runs instead
+    # (the reference stamps elapsed time every iteration,
+    # evolve.F90:272-273)
+    timings_fidelity: bool = False
 
     # --- subbox / sweep work limiting (:54-67) ---
     subboxsize: int = 5

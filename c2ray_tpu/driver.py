@@ -161,7 +161,9 @@ class C2RayDriver:
             raytracer = self.layout.raytracer
         self.solver = Evolve3D(cfg, self.tables, cool=self.cool,
                                raytracer=raytracer,
-                               chemistry=self.layout.chemistry)
+                               chemistry=self.layout.chemistry,
+                               windowed=self.layout.windowed,
+                               rate_sharding=self.layout.rate_sharding)
         self.stats = PhotonStatistics(cfg)
         self.output = OutputWriter(cfg, results_dir=self.dc.results_dir,
                                    io_enabled=self.io_rank)
@@ -432,7 +434,15 @@ class C2RayDriver:
             clump_grid_slice = None
             if cfg.type_of_clumping == 5:
                 if self.material.clumping_grid is not None:
-                    clump_grid_slice = np.asarray(self.material.clumping_grid)
+                    clump_grid_slice = (
+                        self.layout.shard_grid(self.material.clumping_grid)
+                        if self.layout.sharded_grid
+                        else np.asarray(self.material.clumping_grid))
+                elif self.layout.sharded_grid:
+                    # halo layout: per-process slab reads (no host cube)
+                    clump_grid_slice = self.layout.make_sharded(
+                        lambda r0, nr: ad.read_clumping_grid_slab(
+                            zred, r0, nr))
                 else:
                     clump_grid_slice = self._mh.read_on_io_rank(
                         ad.read_clumping_grid, zred)
@@ -440,14 +450,31 @@ class C2RayDriver:
             lls_slice = None
             if cfg.use_lls and cfg.type_of_lls == 2:
                 if lls_grid_slice is None:
-                    lls_grid_slice = self._mh.read_on_io_rank(
-                        ad.read_lls_grid, zred)
+                    if self.layout.sharded_grid:
+                        lls_grid_slice = self.layout.make_sharded(
+                            lambda r0, nr: ad.read_lls_grid_slab(
+                                zred, r0, nr),
+                            dtype=cfg.np_dtype)
+                    else:
+                        lls_grid_slice = self._mh.read_on_io_rank(
+                            ad.read_lls_grid, zred)
+                elif self.layout.sharded_grid:
+                    lls_grid_slice = self.layout.shard_grid(
+                        jnp.asarray(lls_grid_slice, cfg.np_dtype))
                 # type-2 LLS columns are converted ONCE per slice at the
                 # slice redshift (C2Ray.F90:313; the timestep loop at
                 # :376 explicitly skips set_LLS for type 2)
                 zp1_slice = (1.0 + zred) if cfg.cosmological else 1.0
-                lls_slice = set_lls(cfg, zred, cfg.dr_comoving / zp1_slice,
-                                    lls_grid_slice)
+                import jax as _jax
+                if isinstance(lls_grid_slice, _jax.Array):
+                    from .models.lls import set_lls_device
+                    lls_slice = set_lls_device(
+                        cfg, zred, cfg.dr_comoving / zp1_slice,
+                        lls_grid_slice)
+                else:
+                    lls_slice = set_lls(cfg, zred,
+                                        cfg.dr_comoving / zp1_slice,
+                                        lls_grid_slice)
 
             # inner timestep loop (C2Ray.F90:352-407)
             while sim_time < end_time - 1e-6 * abs(dt):
@@ -466,18 +493,21 @@ class C2RayDriver:
 
                 # per-step clumping + LLS (C2Ray.F90:375-376).  Scalar
                 # models (types 1/2) need no density grid; per-cell
-                # models get a host copy (replicated layouts only - the
-                # halo layout gates them out at init)
+                # models (3/4) evaluate elementwise ON DEVICE — works on
+                # replicated and slab-sharded grids alike, and the
+                # type-4 counter-based draw is sharding-invariant, so
+                # every layout produces the identical clumping cube
                 if cfg.type_of_clumping in (1, 2):
                     clump = self.clumping_model.evaluate(z_now)
+                elif cfg.type_of_clumping == 5:
+                    clump = self.clumping_model.evaluate(
+                        z_now, grid_file_reader=lambda _z: clump_grid_slice)
                 else:
+                    from .models.clumping import evaluate_device
                     avg_dens = float(jnp.mean(
                         self.material.ndens_comoving)) * zp1**3
-                    clump = self.clumping_model.evaluate(
-                        z_now, np.asarray(nd_proper), avg_dens,
-                        grid_file_reader=((lambda _z: clump_grid_slice)
-                                          if clump_grid_slice is not None
-                                          else None))
+                    clump = evaluate_device(self.clumping_model, z_now,
+                                            nd_proper, avg_dens)
                 lls = (lls_slice if lls_slice is not None
                        else set_lls(cfg, z_now, dr_proper, lls_grid_slice))
                 cosmo_cool_coeff = 0.0

@@ -95,3 +95,23 @@ def set_lls(cfg: RunConfig, zred: float, dr_proper: float,
         r_max_cm = cfg.r_max_cmpc * const.MPC / (1.0 + zred)
         return LLSState(r_max_cells=r_max_cm / dr_proper)
     return LLSState()
+
+
+def set_lls_device(cfg: RunConfig, zred: float, dr_proper: float,
+                   lls_grid) -> LLSState:
+    """Type-2 LLS setup on a (possibly sharded) DEVICE grid: identical
+    math to set_lls's type-2 branch, elementwise on the slab-resident
+    cross-section cube (round 5, VERDICT item 6 — the halo layout's
+    grid LLS without a host cube; read_LLS_grid, LLS.F90:269-300)."""
+    import jax.numpy as jnp
+
+    assert cfg.use_lls and cfg.type_of_lls == 2
+    m = mfp_models(cfg.cosmo.h)[cfg.lls_model]
+    mfp_pmpc = m.a_lls * ((1.0 + zred) / (1.0 + m.z_ref)) ** m.yz_lls
+    if mfp_pmpc < LIMIT_MFP_CMPC / (1.0 + zred):
+        g = jnp.zeros_like(lls_grid)
+        return LLSState(coldensh_lls=0.0, mfp_pmpc=mfp_pmpc, grid=g)
+    scale = (1.0 / mfp_pmpc) * (const.MPC / dr_proper) ** 2 * N_1
+    g = lls_grid * lls_grid.dtype.type(scale)
+    return LLSState(coldensh_lls=float(jnp.mean(g)), mfp_pmpc=mfp_pmpc,
+                    grid=g)

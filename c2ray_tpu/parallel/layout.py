@@ -56,16 +56,20 @@ class LayoutRuntime:
         self.mesh: Optional[Mesh] = None
         self.raytracer = None
         self.chemistry = None
+        self.windowed = None        # sharded windowed-bucket sweeper
+        self.rate_sharding = None   # adaptive rate-accumulator sharding
         self.grid_sharding: Optional[NamedSharding] = None
         ndev = len(jax.devices())
 
         if self.kind == "none":
             return
         if self.kind == "src":
-            from .source_shard import make_device_mesh, sharded_raytracer
+            from .source_shard import (WindowedShardedSweeper,
+                                       make_device_mesh, sharded_raytracer)
             n = layout.n_src or ndev
             self.mesh = make_device_mesh(n)
             self.raytracer = sharded_raytracer(self.mesh)
+            self.windowed = WindowedShardedSweeper(self.mesh)
             return
         if self.kind not in ("dom", "halo"):
             raise ValueError(f"unknown parallel layout {self.kind!r}")
@@ -85,19 +89,26 @@ class LayoutRuntime:
         self.raytracer = make_rt(self.mesh, src_axis=src_axis)
         self.chemistry = sharded_chemistry(self.mesh, "dom", cool=cool)
         if self.kind == "halo":
+            from .domain import WindowedHaloSweeper
             # every O(N^3) field slab-sharded on grid axis 0 (replicated
             # over the src axis of the 2D mesh)
             self.grid_sharding = NamedSharding(self.mesh, P("dom"))
-        # per-cell models that evaluate on a host copy of the grid are
-        # incompatible with never-materialized sharded fields
-        if self.kind == "halo" and cfg.type_of_clumping in (3, 4, 5):
-            raise ValueError(
-                "halo layout supports clumping types 1/2 only (types 3-5 "
-                "evaluate per-cell on a host grid copy); use --layout dom")
-        if self.kind == "halo" and cfg.use_lls and cfg.type_of_lls == 2:
-            raise ValueError(
-                "halo layout does not support the type-2 LLS grid yet "
-                "(set_lls scales it on the host); use --layout dom")
+            self.windowed = WindowedHaloSweeper(self.mesh,
+                                                src_axis=src_axis)
+            self.rate_sharding = self.grid_sharding
+        else:
+            from .source_shard import WindowedShardedSweeper
+            # dom layout: windows never touch its slab rate structure,
+            # so windowed buckets shard sources over the WHOLE device
+            # grid and psum (grid is replicated for the march anyway)
+            axes = ("src", "dom") if src_axis else ("dom",)
+            self.windowed = WindowedShardedSweeper(self.mesh, axes=axes)
+        # every clumping/LLS model works under every layout (round 5):
+        # types 3/4 evaluate elementwise on the sharded slab
+        # (models/clumping.evaluate_device), type-5 clumping and type-2
+        # LLS cubes slab-read like density (driver.py) — matching the
+        # reference's any-model-any-parallel-mode property
+        # (clumping_module.F90:327-487, LLS.F90:214-316)
 
     # ------------------------------------------------------------------
     @property

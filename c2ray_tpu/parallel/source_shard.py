@@ -28,7 +28,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RunConfig
-from ..ops.sweep import SweepScalars, raytrace_all_sources
+from ..ops.sweep import SweepScalars, raytrace_all_sources, \
+    raytrace_windowed
 from ..ops.tables import RadTables
 
 
@@ -109,3 +110,93 @@ def sharded_raytracer(mesh: Mesh, axis_name: str = "src"):
         return phih, heat, loss, lls_loss, per_src[:s]
 
     return raytracer
+
+class WindowedShardedSweeper:
+    """Windowed O(r^3) bucket sweeps under a source-sharded mesh — the
+    composition of the adaptive subbox machinery with the distributed
+    layouts (round 5, VERDICT item 1; the reference's production shape:
+    each MPI rank traces its source subset WITH subboxes intact,
+    master_slave.F90:74-96 + evolve_source.F90:128-212).
+
+    Each device runs the full windowed path (ops.sweep.raytrace_windowed
+    — window gather, r-shell march, scatter-add, DMA kernels on TPU) on
+    its shard of the bucket's sources over the replicated grid; the rate
+    grids and loss scalars take ONE psum per bucket.  Injected into
+    Evolve3D via `windowed=`; `axes` may span several mesh axes (the dom
+    layout shards windowed sources over its whole src x dom device grid,
+    since windows never touch the slab structure of its rate physics).
+    """
+
+    def __init__(self, mesh: Mesh, axes=("src",), out_spec=None):
+        self.mesh = mesh
+        self.axes = tuple(axes)
+        self.ndev = int(np.prod([mesh.shape[a] for a in self.axes]))
+        self.out_spec = out_spec if out_spec is not None else P()
+        self._cache = {}
+
+    def supports(self, cfg: RunConfig, radius: int) -> bool:
+        return True
+
+    def _program(self, cfg, tables, radius, total, have_x, have_lls, iso):
+        key = (radius, total, have_x, have_lls)
+        fn = self._cache.get(key)
+        if fn is not None:
+            return fn
+        axes = self.axes if len(self.axes) > 1 else self.axes[0]
+        L = total // self.ndev
+
+        def local(ndens, xh_av1, pos, nf, nfx, sc, lls):
+            phih, heat, loss, lls_loss, per = raytrace_windowed(
+                cfg, tables, ndens, xh_av1, pos, nf, sc,
+                lls_grid=lls if have_lls else None, radius=radius,
+                nflux_xray=nfx if have_x else None)
+            # MPI_ALLREDUCE(SUM) analogue, one per bucket
+            phih = lax.psum(phih, axes)
+            if not iso:
+                heat = lax.psum(heat, axes)
+            loss = lax.psum(loss, axes)
+            lls_loss = lax.psum(lls_loss, axes)
+            # per-source losses back in global bucket order: place each
+            # device's block by its flattened mesh position and psum
+            # (robust to multi-axis device ordering, unlike a tiled
+            # all_gather)
+            i = lax.axis_index(axes)
+            full = jnp.zeros((total,), per.dtype)
+            full = lax.dynamic_update_slice(full, per, (i * L,))
+            per_full = lax.psum(full, axes)
+            return phih, heat, loss, lls_loss, per_full
+
+        rep = P()
+        shard = P(self.axes if len(self.axes) > 1 else self.axes[0])
+        heat_spec = self.out_spec if not iso else rep
+        fn = jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(rep, rep, shard, shard, shard, rep, rep),
+            out_specs=(self.out_spec, heat_spec, rep, rep, rep),
+            check_vma=False))
+        self._cache[key] = fn
+        return fn
+
+    def sweep(self, cfg, tables, radius, ndens, xh_av, lls_grid,
+              pos_np, nf_np, nfx_np, sc):
+        """Sweep one adaptive bucket; returns (phih, phiheat, loss,
+        lls_loss, per_src) with per_src[:len(pos_np)] in bucket order."""
+        s = len(nf_np)
+        L = -(-s // self.ndev)
+        L = 1 << (L - 1).bit_length()     # pow2: bounded compile set
+        total = self.ndev * L
+        dtype = cfg.jnp_dtype
+        pos = np.zeros((total, 3), np.int32)
+        nf = np.zeros(total)
+        pos[:s] = pos_np
+        nf[:s] = nf_np
+        have_x = nfx_np is not None
+        fx = np.zeros(total)
+        if have_x:
+            fx[:s] = nfx_np
+        prog = self._program(cfg, tables, int(radius), total, have_x,
+                             lls_grid is not None, cfg.isothermal)
+        lls = (lls_grid if lls_grid is not None
+               else jnp.zeros((), dtype))
+        return prog(ndens, xh_av, jnp.asarray(pos), jnp.asarray(nf, dtype),
+                    jnp.asarray(fx, dtype), sc, lls)

@@ -53,11 +53,22 @@ class Evolve3D:
     def __init__(self, cfg: RunConfig, tables: RadTables,
                  cool: Optional[CoolingTable] = None,
                  raytracer: Optional[Callable] = None,
-                 chemistry: Optional[Callable] = None):
+                 chemistry: Optional[Callable] = None,
+                 windowed=None, rate_sharding=None):
         self.cfg = cfg
         self.tables = tables
         self.cool = cool
         self._custom_raytracer = raytracer is not None
+        # sharded windowed-bucket sweeper (parallel/source_shard.py
+        # WindowedShardedSweeper or parallel/domain.py
+        # WindowedHaloSweeper): lets the adaptive O(r^3) subbox path run
+        # under a distributed layout — the reference's production shape
+        # (master_slave.F90:74-96 + evolve_source.F90:128-212)
+        self._windowed = windowed
+        # sharding for the per-iteration rate accumulators (halo layout:
+        # P('dom') slabs, so the adaptive path never materializes a
+        # replicated O(N^3) grid); None = default placement
+        self._rate_sharding = rate_sharding
         self._wchunk_cache = {}     # radius -> (prepass, chunk) jit fns
         rt = raytracer if raytracer is not None else raytrace_all_sources
 
@@ -299,9 +310,16 @@ class Evolve3D:
         dtype = cfg.jnp_dtype
         n = cfg.mesh[0]
         ladder = self._radius_ladder()
-        phih = jnp.zeros((n, n, n), dtype)
-        heat = (jnp.zeros((n, n, n), dtype) if not cfg.isothermal
-                else jnp.zeros((), dtype))
+        if self._rate_sharding is not None:
+            zeros = jax.jit(lambda: jnp.zeros((n, n, n), dtype),
+                            out_shardings=self._rate_sharding)
+            phih = zeros()
+            heat = (zeros() if not cfg.isothermal
+                    else jnp.zeros((), dtype))
+        else:
+            phih = jnp.zeros((n, n, n), dtype)
+            heat = (jnp.zeros((n, n, n), dtype) if not cfg.isothermal
+                    else jnp.zeros((), dtype))
         loss = jnp.zeros((), dtype)
         lls_loss = jnp.zeros((), dtype)
         pending = []   # (idx, device per-source losses) — synced by caller
@@ -310,9 +328,26 @@ class Evolve3D:
             idx = np.where(assign == b)[0]
             if len(idx) == 0:
                 continue
-            windowed = (not self._custom_raytracer and cfg.window_sweep
-                        and 2 * radius + 1 <= n - 1)
-            if self._custom_raytracer:
+            win_ok = cfg.window_sweep and 2 * radius + 1 <= n - 1
+            windowed = not self._custom_raytracer and win_ok
+            if (self._custom_raytracer and self._windowed is not None
+                    and win_ok
+                    and self._windowed.supports(cfg, radius)):
+                # sharded windowed bucket: O(r^3) subbox sweeps run
+                # distributed (each device traces its source subset with
+                # windows intact; one psum per bucket) — previously this
+                # fell through to full-grid-staged sweeps
+                ph, he, lo, ll, ps = self._windowed.sweep(
+                    cfg, self.tables, radius, ndens, xh_av, lls_grid,
+                    srcpos_np[idx], nflux_np[idx],
+                    nfx_np[idx] if have_x else None, sc)
+                phih = phih + ph
+                if not cfg.isothermal:
+                    heat = heat + he
+                loss = loss + lo
+                lls_loss = lls_loss + ll
+                pending.append((idx, ps))
+            elif self._custom_raytracer:
                 # injected (sharded) raytracer: single call per bucket at
                 # pow2 capacity — the raytracer owns source distribution
                 # (parallel/source_shard.py shards + psums internally)
@@ -775,8 +810,14 @@ class Evolve3D:
             from .parallel import multihost as mh
             dump_ok = mh.broadcast_obj(dump_ok if mh.is_io_rank()
                                        else None)
+        # timings_fidelity: the device loop's Timings stamps are replay
+        # stamps (all written at loop exit) — when per-iteration
+        # wall-clock fidelity is requested (the reference stamps real
+        # elapsed time each iteration, evolve.F90:272-273), run the
+        # host-driven loop instead
+        fidelity_ok = clocks is None or not cfg.timings_fidelity
         if (cfg.on_device_loop and not use_adaptive and not verbose
-                and dump_ok and cfg.mesh[0] <= 512):
+                and dump_ok and fidelity_ok and cfg.mesh[0] <= 512):
             return self._evolve_device_loop(
                 cfg, state, ndens_proper, dr_proper, srcpos, nflux, nfx,
                 sc, clump, lls_grid, dt_dev, coeff_dev, dt, vol,
