@@ -141,6 +141,20 @@ class RunConfig:
     # (the reference stamps elapsed time every iteration,
     # evolve.F90:272-273)
     timings_fidelity: bool = False
+    # print per-iteration convergence statistics from the driver
+    # (Test 1 conv_flag vs criterion, Test 2 relative changes — the
+    # reference writes these to its log every iteration,
+    # evolve.F90:206-209).  Forces the host-driven loop.
+    log_convergence: bool = False
+    # non-isothermal subcycle scheduling (ops/thermal.py):
+    # thermal_compact finishes straggler cells in a compacted vector so
+    # the dense O(N^3) while_loop trip count follows the typical cell,
+    # not the coldest (bitwise-identical results);
+    # thermal_chunk > 0 evaluates the subcycle loop in axis-0 slabs of
+    # that many rows (bounds live-buffer sizes — the whole-grid 256^3
+    # non-isothermal program crashes the axon TPU worker)
+    thermal_compact: bool = True
+    thermal_chunk: int = 0
 
     # --- subbox / sweep work limiting (:54-67) ---
     subboxsize: int = 5

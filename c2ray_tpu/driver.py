@@ -529,7 +529,11 @@ class C2RayDriver:
                         dumper=self.dumper, iter_restart=iter_restart,
                         clocks=self.clocks,
                         nflux_xray=(cat.normflux_xray
-                                    if cfg.sed.use_xray_sed else None))
+                                    if cfg.sed.use_xray_sed else None),
+                        # per-iteration convergence statistics, as the
+                        # reference logs each iteration
+                        # (evolve.F90:206-209)
+                        verbose=self.verbose and cfg.log_convergence)
                 else:
                     # no active sources: the reference skips evolve3D
                     # entirely for this step (C2Ray.F90:379)

@@ -1140,16 +1140,6 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
 
     ndhi = neutral_density(cfg, ndens, xh_av1)
 
-    # Source-centered fields via ONE shared wrap-padded cube + contiguous
-    # dynamic_slice per source: a single DMA instead of the 3-axis roll's
-    # slice+concat passes (bitwise-identical values; measured 38 ms -> ~8 ms
-    # for 16 sources at 256^3).  The (2N-1)^3 pad is amortized over all
-    # sources and iterations of the step.
-    pad_w = ((0, n - 1),) * 3
-    ndhi_ext = jnp.pad(ndhi, pad_w, mode="wrap")
-    lls_ext = (jnp.pad(lls_grid, pad_w, mode="wrap")
-               if lls_grid is not None else None)
-
     def _center(ext, pos):
         start = (pos - c) % n
         return lax.dynamic_slice(ext, (start[0], start[1], start[2]),
@@ -1157,15 +1147,37 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
 
     use_pallas = False
     use_consume = False
+    use_grid_march = False
     if cfg.sweep_backend == "pallas":
         from .sweep_pallas import (compute_columns_pallas,
                                    consume_available,
+                                   grid_march_available,
                                    pallas_sweep_available)
         use_pallas = pallas_sweep_available(cfg, lls_grid)
         # fused rate deposition (rate pass + grid rolls + batch sum in
         # one Pallas program); full-cube path only
         use_consume = (use_pallas and slab is None
                        and consume_available(cfg, tables, nflux_xray))
+        # grid-frame march (round 5): the march reads SHARED grid-frame
+        # cube views via source-offset index maps — no per-source
+        # centering or transposes.  Only its output (centered cdo
+        # cubes) feeds the consume kernel, so both fuse or neither
+        use_grid_march = (use_consume
+                          and grid_march_available(cfg, d_sweep, lls_grid))
+
+    if use_grid_march:
+        # the grid march needs no centered copies at all
+        ndhi_ext = lls_ext = None
+    else:
+        # Source-centered fields via ONE shared wrap-padded cube +
+        # contiguous dynamic_slice per source: a single DMA instead of
+        # the 3-axis roll's slice+concat passes (bitwise-identical
+        # values; measured 38 ms -> ~8 ms for 16 sources at 256^3).
+        # The (2N-1)^3 pad is amortized over all sources and iterations.
+        pad_w = ((0, n - 1),) * 3
+        ndhi_ext = jnp.pad(ndhi, pad_w, mode="wrap")
+        lls_ext = (jnp.pad(lls_grid, pad_w, mode="wrap")
+                   if lls_grid is not None else None)
 
     def _to_grid(field, pos):
         """Return the rate field in grid layout: full roll when the field
@@ -1192,11 +1204,16 @@ def raytrace_all_sources(cfg: RunConfig, tables: RadTables,
         lls_ax = 0 if lls_grid is not None else None
 
         def vsweep(pos_b, nf_b, nfx_b):
-            ndhi_cb = jax.vmap(lambda p: _center(ndhi_ext, p))(pos_b)
-            lls_cb = (jax.vmap(lambda p: _center(lls_ext, p))(pos_b)
-                      if lls_grid is not None else None)
-            cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep,
-                                           lls_cb=lls_cb)
+            if use_grid_march:
+                from .sweep_pallas import compute_columns_pallas_grid
+                cdo_b = compute_columns_pallas_grid(cfg, ndhi, pos_b, sc,
+                                                    d_sweep, lls=lls_grid)
+            else:
+                ndhi_cb = jax.vmap(lambda p: _center(ndhi_ext, p))(pos_b)
+                lls_cb = (jax.vmap(lambda p: _center(lls_ext, p))(pos_b)
+                          if lls_grid is not None else None)
+                cdo_b = compute_columns_pallas(cfg, ndhi_cb, sc, d_sweep,
+                                               lls_cb=lls_cb)
             if use_consume:
                 # fused consume kernel: rate physics + grid-frame rolls
                 # + batch accumulation in one program, reading the

@@ -354,6 +354,201 @@ def compute_columns_pallas(cfg: RunConfig, ndhi_cb: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Grid-frame march (round 5, VERDICT r4 item 3)
+#
+# The per-source staging around the march kernel - the centered-cube
+# dynamic_slice (phase profile: 9.4 ms at 256^3 x8) and the TWO
+# transposed copies of every centered cube (16.1 ms) - scales with the
+# batch, while the march kernel itself is ~16 ms.  This variant marches
+# directly on SHARED grid-frame views of the neutral-density cube (the
+# cube + one y-major + one z-major transpose, built ONCE per pass): the
+# per-shell face planes are read at rows (s_axis +- d) mod n via
+# scalar-prefetched source positions (periodic wrap = the centered
+# path's roll, so the plane contents are identical), then re-centered
+# in-VMEM with two nonnegative dynamic rotates.  Everything downstream
+# (plane-update math, ownership masks, per-face outputs, unstage) is
+# unchanged, so results are bitwise-equal to compute_columns_pallas
+# wherever both run (asserted in interpret mode; hardware gate in
+# validate_tpu.py).
+#
+# Valid when the march patch covers the whole cube (p == n, the
+# full-radius production rung; radius-capped full-cube sweeps keep the
+# centered path - their patches are element-offset windows BlockSpecs
+# cannot express).
+# ---------------------------------------------------------------------------
+
+def _kernel_grid(sref, params_ref, seed_ref, *rest, cfg: RunConfig, n: int,
+                 d_lo: int, has_lls: bool, mask_outputs: bool = False):
+    # rest = 6 ndhi view refs [+ 6 lls view refs] + 6 out refs + prev
+    nd_refs = rest[0:6]
+    if has_lls:
+        lls_refs = rest[6:12]
+        out_refs = rest[12:18]
+        prev_ref = rest[18]
+    else:
+        lls_refs = None
+        out_refs = rest[6:12]
+        prev_ref = rest[12]
+    bi = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    c = n // 2
+    sx = sref[bi, 0]
+    sy = sref[bi, 1]
+    sz = sref[bi, 2]
+    # grid->centered transverse rotates (NONNEGATIVE shifts only:
+    # tpu.dynamic_rotate corrupts negative dynamic shifts, round 4)
+    rx = (c - sx) % n
+    ry = (c - sy) % n
+    rz = (c - sz) % n
+    # face order _FACES = [z+, z-, y+, y-, x+, x-]; transverse plane
+    # dims: z faces (x,y), y faces (x,z), x faces (y,z)
+    shifts = ((rx, ry), (rx, ry), (rx, rz), (rx, rz), (ry, rz), (ry, rz))
+
+    @pl.when(d_idx == 0)
+    def _():
+        prev_ref[...] = seed_ref[0]
+
+    dr = params_ref[bi, 0]
+    d = d_idx + d_lo
+
+    def centered(refs):
+        return jnp.stack([
+            pltpu.roll(pltpu.roll(refs[f][0], shifts[f][0], 0),
+                       shifts[f][1], 1)
+            for f in range(6)])
+
+    ndhi_p = centered(nd_refs)
+    lcol = centered(lls_refs) if has_lls else params_ref[bi, 1]
+    new = _wavefront_plane_update(prev_ref[...], ndhi_p, lcol,
+                                  d, cfg, dr, n, rowfix=True)
+    if mask_outputs:
+        c2 = n // 2
+        ita = lax.broadcasted_iota(jnp.int32, (n, 1), 0) - c2
+        itb = lax.broadcasted_iota(jnp.int32, (1, n), 1) - c2
+        aa, ab = jnp.abs(ita), jnp.abs(itb)
+        own = [(aa <= d) & (ab <= d), (aa <= d) & (ab <= d),
+               (aa <= d) & (ab < d), (aa <= d) & (ab < d),
+               (aa < d) & (ab < d), (aa < d) & (ab < d)]
+        for f in range(6):
+            out_refs[f][0, 0] = jnp.where(own[f], new[f], 0.0)
+    else:
+        for f in range(6):
+            out_refs[f][0, 0] = new[f]
+    prev_ref[...] = new
+
+
+def _grid_face_specs(n: int, d_lo: int):
+    """Six face-plane BlockSpecs over the three SHARED grid-frame cube
+    views (z-major, z-major, y-major, y-major, native, native): at grid
+    step di (shell d = d_lo + di), face +ax reads row (s_ax + d) mod n,
+    face -ax row (s_ax - d) mod n — the periodic wrap IS the centered
+    path's roll, so contents match the centered patch rows exactly (the
+    one wrapped +face plane at d = n/2 is never consumed downstream,
+    like the centered path's clamped edge plane)."""
+    def pos(ax):
+        def m(bi, di, sref):
+            return ((sref[bi, ax] + d_lo + di) % n, 0, 0)
+        return m
+
+    def neg(ax):
+        def m(bi, di, sref):
+            return ((sref[bi, ax] - d_lo - di) % n, 0, 0)
+        return m
+
+    blk = (1, n, n)
+    maps = (pos(2), neg(2), pos(1), neg(1), pos(0), neg(0))
+    return [pl.BlockSpec(blk, m, memory_space=pltpu.VMEM) for m in maps]
+
+
+def grid_march_available(cfg: RunConfig, max_shell: int, lls_c) -> bool:
+    """Gate: full-radius patch (p == n), pallas envelope, rotate-safe
+    lane-aligned mesh (same alignment family as the consume kernel)."""
+    n = cfg.mesh[0]
+    return (pallas_sweep_available(cfg, lls_c)
+            and 2 * max_shell + 1 >= n and n % 256 == 0)
+
+
+def compute_columns_pallas_grid(cfg: RunConfig, ndhi: jax.Array,
+                                srcpos_b: jax.Array, sc: SweepScalars,
+                                max_shell: int,
+                                lls: Optional[jax.Array] = None,
+                                interpret: bool = False) -> jax.Array:
+    """Batched column march from the SHARED grid-frame neutral-density
+    cube: (N,N,N) + (B,3) source positions -> (B,N,N,N) source-centered
+    coldensh_out fields (identical output layout to
+    compute_columns_pallas, so the consume kernel and unstage are
+    untouched).  No per-source centering or per-source transposes."""
+    b = srcpos_b.shape[0]
+    n = ndhi.shape[0]
+    c = n // 2
+    dtype = ndhi.dtype
+    has_lls = lls is not None
+    sref = jnp.asarray(srcpos_b, jnp.int32)
+
+    cdo0 = jax.vmap(lambda p: ndhi[p[0], p[1], p[2]])(sref) * (0.5 * sc.dr)
+    cdo0 = cdo0.astype(dtype)
+    params = jnp.stack([
+        jnp.broadcast_to(sc.dr, (b,)).astype(dtype),
+        jnp.broadcast_to(sc.lls_coldens, (b,)).astype(dtype),
+        cdo0,
+        jnp.zeros((b,), dtype),
+    ], axis=1)
+
+    def views(cube):
+        # (zT, zT, yT, yT, cube, cube) — ONE transpose each, shared by
+        # the whole batch (the centered path transposes per source)
+        y_t = jnp.moveaxis(cube, 1, 0)               # (y, x, z)
+        z_t = jnp.moveaxis(cube, 2, 0)               # (z, x, y)
+        return (z_t, z_t, y_t, y_t, cube, cube)
+
+    d_lo, d_hi = 1, min(max_shell, c)
+    nd = d_hi - d_lo + 1
+    seed = jnp.zeros((b, 6, n, n), dtype)
+    seed = seed.at[:, :, c, c].set(cdo0[:, None])
+
+    in_specs = [
+        pl.BlockSpec((b, 4), lambda bi, di, sref: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 6, n, n), lambda bi, di, sref: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + _grid_face_specs(n, d_lo)
+    inputs = [params, seed] + list(views(ndhi))
+    if has_lls:
+        in_specs += _grid_face_specs(n, d_lo)
+        inputs += list(views(lls))
+
+    def out_pos(bi, di, sref):
+        return (bi, di, 0, 0)
+
+    def out_neg(bi, di, sref):
+        return (bi, nd - 1 - di, 0, 0)
+
+    out_specs = [pl.BlockSpec((1, 1, n, n), m, memory_space=pltpu.VMEM)
+                 for m in (out_pos, out_neg, out_pos, out_neg,
+                           out_pos, out_neg)]
+    out_shapes = [jax.ShapeDtypeStruct((b, nd, n, n), dtype)] * 6
+    gspec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(b, nd),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((6, n, n), dtype)])
+    planes6 = pl.pallas_call(
+        partial(_kernel_grid, cfg=cfg, n=n, d_lo=d_lo, has_lls=has_lls,
+                mask_outputs=True),
+        grid_spec=gspec, out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(sref, *inputs)
+
+    out_cube = jnp.zeros((b, n, n, n), dtype)
+    out_cube = jax.vmap(
+        lambda o, *pls: _unstage_six_sum(o, pls, n, d_lo, 0, n))(
+        out_cube, *planes6)
+    ar = jnp.arange(b)
+    return out_cube.at[ar, c, c, c].set(cdo0)
+
+
+# ---------------------------------------------------------------------------
 # Fused rate-deposition "consume" kernel (round 4)
 #
 # The sweep pass's non-march phases - the N^3 rate pass, the per-source

@@ -113,6 +113,111 @@ class ThermalResult(NamedTuple):
     average_temperature: jax.Array
 
 
+def _make_substep(cfg, cool, dt, ndens_atom, ne_av, cosmo_rate,
+                  heat_rate):
+    """One adaptive subcycle step (thermal.f90:98-159) as a closure over
+    the per-cell fields — the SAME function serves the dense grid pass
+    and the compacted straggler pass, so the per-cell substep sequences
+    (and therefore every bit of the result) are identical."""
+    dt = jnp.asarray(dt, jnp.result_type(ne_av))
+
+    def substep(state):
+        i, e_int, t_interm, avg_acc, cum, running = state
+        cooling = coolin(cool, ndens_atom, ne_av, t_interm) + cosmo_rate
+        thermal_rate = jnp.maximum(1e-50, jnp.abs(cooling - heat_rate))
+        dt_thermal = cfg.relative_denergy * e_int / thermal_rate
+        dt_ode = jnp.minimum(dt_thermal, dt - cum)
+        e_new = e_int + dt_ode * (heat_rate - cooling)
+        avg_new = avg_acc + 0.5 * t_interm * dt_ode
+        t_new = pressr2temper(e_new * const.GAMMA1, ndens_atom, ne_av)
+        avg_new = avg_new + 0.5 * t_new * dt_ode
+        # temperature floor (thermal.f90:142-148); note the reference
+        # stores the *pressure* as internal energy here (no /gamma1) -
+        # reproduced.
+        floor = t_new < cfg.minitemp
+        e_new = jnp.where(floor, temper2pressr(cfg.minitemp, ndens_atom,
+                                               ne_av), e_new)
+        t_new = jnp.where(floor, cfg.minitemp, t_new)
+        cum_new = cum + dt_ode
+        done = jnp.logical_or(cum_new >= dt,
+                              jnp.abs(cum_new - dt) < 1e-6 * dt)
+        still = jnp.logical_and(running, jnp.logical_not(done))
+        keep = lambda new, old: jnp.where(running, new, old)
+        return (i + 1, keep(e_new, e_int), keep(t_new, t_interm),
+                keep(avg_new, avg_acc), keep(cum_new, cum), still)
+
+    return substep
+
+
+def _thermal_core(cfg: RunConfig, cool: CoolingTable, dt,
+                  initial_temperature, ndens_atom, ne_av, e0, cosmo_rate,
+                  heat_rate, active0, max_subcycles: int):
+    """Subcycle integration for one (sub)grid; returns (e_int, avg_acc)."""
+    shape = initial_temperature.shape
+    substep = _make_substep(cfg, cool, dt, ndens_atom, ne_av, cosmo_rate,
+                            heat_rate)
+    zero = jnp.zeros_like(initial_temperature)
+    state0 = (jnp.asarray(0, jnp.int32), e0, initial_temperature, zero,
+              zero, jnp.broadcast_to(active0, shape))
+
+    if not cfg.thermal_compact:
+        def cond(state):
+            return jnp.logical_and(state[0] < max_subcycles,
+                                   jnp.any(state[5]))
+        final = jax.lax.while_loop(cond, substep, state0)
+        return final[1], final[3]
+
+    # --- straggler compaction (round 5, VERDICT r4 item 5) ---
+    # The dense masked loop's trip count follows the WORST cell: one
+    # cold high-rate cell holds the whole O(N^3) loop open (measured
+    # ~0.6 s/iter at 128^3 vs ~40 ms isothermal).  Instead: run the
+    # dense loop only while more than M cells are still subcycling,
+    # then gather the <= M stragglers into a compact vector, finish
+    # them there with the SAME substep closure (bitwise-equal), and
+    # scatter back.  The dense trip count now follows the typical cell;
+    # the straggler tail costs O(M) per trip.
+    ncell = int(np.prod(shape))
+    m_cap = min(ncell, max(1024, ncell // 64))
+
+    def dense_cond(state):
+        return jnp.logical_and(state[0] < max_subcycles,
+                               jnp.sum(state[5]) > m_cap)
+
+    fs = jax.lax.while_loop(dense_cond, substep, state0)
+    i_dense, e_f, t_f, avg_f, cum_f, run_f = (
+        fs[0],) + tuple(s.reshape(-1) for s in fs[1:])
+
+    # gather stragglers; fill slots point at a dummy cell appended to
+    # every vector, so duplicate fill indices are harmless
+    idx = jnp.nonzero(run_f, size=m_cap, fill_value=ncell)[0]
+
+    def flat(x):
+        return jnp.broadcast_to(x, shape).reshape(-1)
+
+    def take(v, pad):
+        return jnp.concatenate([v, jnp.full((1,), pad, v.dtype)])[idx]
+
+    csub = _make_substep(cfg, cool, dt, take(flat(ndens_atom), 1.0),
+                         take(flat(ne_av), 0.0),
+                         take(flat(cosmo_rate), 0.0),
+                         take(flat(heat_rate), 0.0))
+    cstate = (i_dense, take(e_f, 1.0), take(t_f, cfg.minitemp),
+              take(avg_f, 0.0), take(cum_f, 0.0), take(run_f, False))
+
+    def ccond(state):
+        return jnp.logical_and(state[0] < max_subcycles,
+                               jnp.any(state[5]))
+
+    cfinal = jax.lax.while_loop(ccond, csub, cstate)
+    _, ce, _, cavg, _, _ = cfinal
+
+    def put(v, upd):
+        return jnp.concatenate(
+            [v, jnp.zeros((1,), v.dtype)]).at[idx].set(upd)[:ncell]
+
+    return (put(e_f, ce).reshape(shape), put(avg_f, cavg).reshape(shape))
+
+
 def thermal(cfg: RunConfig, cool: CoolingTable, dt,
             initial_temperature, ndens_electron, ndens_atom,
             xh1_end, xh1_av, xh1_old, heat_rate,
@@ -127,6 +232,12 @@ def thermal(cfg: RunConfig, cool: CoolingTable, dt,
     cosmo_cool_coeff: 2*(dz/dt)/(1+z) at the current redshift; the
     reference evaluates the adiabatic cooling rate once from the INITIAL
     internal energy (thermal.f90:74-79) - reproduced here.
+
+    cfg.thermal_compact finishes straggler cells in a compacted vector
+    (bitwise-identical, trip count follows the typical cell);
+    cfg.thermal_chunk > 0 evaluates the grid in axis-0 slabs of that
+    many rows (bounds live-buffer sizes — the 256^3 non-isothermal
+    program crashes the axon TPU worker whole-grid, BENCH_HISTORY).
     """
     dtype = jnp.result_type(initial_temperature)
     dt = jnp.asarray(dt, dtype)
@@ -135,39 +246,35 @@ def thermal(cfg: RunConfig, cool: CoolingTable, dt,
                        ndens_atom, electrondens(ndens_atom, xh1_old)) / const.GAMMA1
     cosmo_rate = cosmo_cool_coeff * e0
     ne_av = electrondens(ndens_atom, xh1_av)
-
     active0 = initial_temperature > cfg.minitemp  # thermal.f90:83
 
-    def cond(state):
-        i, e_int, t_interm, avg_acc, cum, running = state
-        return jnp.logical_and(i < max_subcycles, jnp.any(running))
+    rows = cfg.thermal_chunk
+    full = jnp.broadcast_to
+    shape = initial_temperature.shape
+    if (rows and len(shape) == 3 and shape[0] > rows
+            and shape[0] % rows == 0):
+        k = shape[0] // rows
+        csh = (k, rows) + shape[1:]
 
-    def body(state):
-        i, e_int, t_interm, avg_acc, cum, running = state
-        cooling = coolin(cool, ndens_atom, ne_av, t_interm) + cosmo_rate
-        thermal_rate = jnp.maximum(1e-50, jnp.abs(cooling - heat_rate))
-        dt_thermal = cfg.relative_denergy * e_int / thermal_rate
-        dt_ode = jnp.minimum(dt_thermal, dt - cum)
-        e_new = e_int + dt_ode * (heat_rate - cooling)
-        avg_new = avg_acc + 0.5 * t_interm * dt_ode
-        t_new = pressr2temper(e_new * const.GAMMA1, ndens_atom, ne_av)
-        avg_new = avg_new + 0.5 * t_new * dt_ode
-        # temperature floor (thermal.f90:142-148); note the reference stores
-        # the *pressure* as internal energy here (no /gamma1) - reproduced.
-        floor = t_new < cfg.minitemp
-        e_new = jnp.where(floor, temper2pressr(cfg.minitemp, ndens_atom, ne_av), e_new)
-        t_new = jnp.where(floor, cfg.minitemp, t_new)
-        cum_new = cum + dt_ode
-        done = jnp.logical_or(cum_new >= dt, jnp.abs(cum_new - dt) < 1e-6 * dt)
-        still = jnp.logical_and(running, jnp.logical_not(done))
-        # frozen cells keep their state
-        keep = lambda new, old: jnp.where(running, new, old)
-        return (i + 1, keep(e_new, e_int), keep(t_new, t_interm),
-                keep(avg_new, avg_acc), keep(cum_new, cum), still)
+        def chunk(args):
+            t0, na, ne, e, cr, hr, a0 = args
+            return _thermal_core(cfg, cool, dt, t0, na, ne, e, cr, hr,
+                                 a0, max_subcycles)
 
-    zero = jnp.zeros_like(initial_temperature)
-    state0 = (jnp.asarray(0, jnp.int32), e0, initial_temperature, zero, zero, active0)
-    _, e_int, t_interm, avg_acc, cum, _ = jax.lax.while_loop(cond, body, state0)
+        e_int, avg_acc = jax.lax.map(chunk, (
+            initial_temperature.reshape(csh),
+            full(ndens_atom, shape).reshape(csh),
+            full(ne_av, shape).reshape(csh),
+            full(e0, shape).reshape(csh),
+            full(cosmo_rate, shape).reshape(csh),
+            full(heat_rate, shape).reshape(csh),
+            full(active0, shape).reshape(csh)))
+        e_int = e_int.reshape(shape)
+        avg_acc = avg_acc.reshape(shape)
+    else:
+        e_int, avg_acc = _thermal_core(cfg, cool, dt, initial_temperature,
+                                       ndens_atom, ne_av, e0, cosmo_rate,
+                                       heat_rate, active0, max_subcycles)
 
     avg_t = jnp.where(dt > 0.0, avg_acc / dt, initial_temperature)
     final_t = pressr2temper(e_int * const.GAMMA1, ndens_atom,

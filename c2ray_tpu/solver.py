@@ -70,6 +70,11 @@ class Evolve3D:
         # replicated O(N^3) grid); None = default placement
         self._rate_sharding = rate_sharding
         self._wchunk_cache = {}     # radius -> (prepass, chunk) jit fns
+        # per-timestep cache of padded per-bucket device source arrays:
+        # rebuilt only when promotions CHANGE the assignment, so the
+        # steady-state production iteration skips the host bucketing
+        # cost (measured 45-60 ms/iter at 10k sources, BENCH_HISTORY)
+        self._abucket_cache = (None, {})
         rt = raytracer if raytracer is not None else raytrace_all_sources
 
         @jax.jit
@@ -324,6 +329,7 @@ class Evolve3D:
         lls_loss = jnp.zeros((), dtype)
         pending = []   # (idx, device per-source losses) — synced by caller
         have_x = nfx_np is not None
+        akey = assign.tobytes()
         for b, radius in enumerate(ladder):
             idx = np.where(assign == b)[0]
             if len(idx) == 0:
@@ -352,19 +358,11 @@ class Evolve3D:
                 # pow2 capacity — the raytracer owns source distribution
                 # (parallel/source_shard.py shards + psums internally)
                 cap = 1 << (len(idx) - 1).bit_length()
-                pos_p = np.zeros((cap, 3), np.int32)
-                flux_p = np.zeros(cap)
-                pos_p[:len(idx)] = srcpos_np[idx]
-                flux_p[:len(idx)] = nflux_np[idx]
-                if have_x:
-                    fx_p = np.zeros(cap)
-                    fx_p[:len(idx)] = nfx_np[idx]
-                    fx_p = jnp.asarray(fx_p, dtype)
-                else:
-                    fx_p = None
+                pos_p, flux_p, fx_p = self._bucket_arrays(
+                    akey, b, cap, idx, srcpos_np, nflux_np, nfx_np,
+                    have_x)
                 ph, he, lo, ll, ps = self._sweep_r(
-                    ndens, xh_av, jnp.asarray(pos_p),
-                    jnp.asarray(flux_p, dtype), sc, lls_grid, fx_p,
+                    ndens, xh_av, pos_p, flux_p, sc, lls_grid, fx_p,
                     max_shell=radius)
                 phih = phih + ph
                 if not cfg.isothermal:
@@ -377,16 +375,9 @@ class Evolve3D:
                 ndhi_pad, lls_pad = prepass(ndens, xh_av, lls_grid)
                 chunk = self._window_chunk_size(radius)
                 nchunk = -(-len(idx) // chunk)
-                pos_p = np.zeros((nchunk * chunk, 3), np.int32)
-                flux_p = np.zeros(nchunk * chunk)
-                pos_p[:len(idx)] = srcpos_np[idx]
-                flux_p[:len(idx)] = nflux_np[idx]
-                fx_p = np.zeros(nchunk * chunk)
-                if have_x:
-                    fx_p[:len(idx)] = nfx_np[idx]
-                pos_p = jnp.asarray(pos_p)
-                flux_p = jnp.asarray(flux_p, dtype)
-                fx_p = jnp.asarray(fx_p, dtype) if have_x else None
+                pos_p, flux_p, fx_p = self._bucket_arrays(
+                    akey, b, nchunk * chunk, idx, srcpos_np, nflux_np,
+                    nfx_np, have_x)
                 if dma:
                     # per-rung PADDED accumulators (block-DMA scatter);
                     # folded back into the grid rate fields at rung end
@@ -421,20 +412,13 @@ class Evolve3D:
                 chunk = self._full_chunk_size()
                 nchunk = -(-len(idx) // chunk)
                 cap = nchunk * chunk
-                pos_p = np.zeros((cap, 3), np.int32)
-                flux_p = np.zeros(cap)
-                pos_p[:len(idx)] = srcpos_np[idx]
-                flux_p[:len(idx)] = nflux_np[idx]
-                if have_x:
-                    fx_full = np.zeros(cap)
-                    fx_full[:len(idx)] = nfx_np[idx]
-                pos_p = jnp.asarray(pos_p)
-                flux_p = jnp.asarray(flux_p, dtype)
+                pos_p, flux_p, fx_full = self._bucket_arrays(
+                    akey, b, cap, idx, srcpos_np, nflux_np, nfx_np,
+                    have_x)
                 parts = []
                 for ci in range(nchunk):
                     sl = slice(ci * chunk, (ci + 1) * chunk)
-                    fx_c = (jnp.asarray(fx_full[sl], dtype) if have_x
-                            else None)
+                    fx_c = fx_full[sl] if have_x else None
                     ph, he, lo, ll, ps = self._sweep_r(
                         ndens, xh_av, pos_p[sl], flux_p[sl], sc,
                         lls_grid, fx_c, max_shell=radius)
@@ -448,6 +432,31 @@ class Evolve3D:
                           else parts[0])
                 pending.append((idx, ps_all))
         return phih, heat, loss, lls_loss, pending
+
+    def _bucket_arrays(self, key, b, cap, idx, srcpos_np, nflux_np,
+                       nfx_np, have_x):
+        """Padded device source arrays for one bucket (cached across
+        convergence iterations under the assignment key)."""
+        ck, store = self._abucket_cache
+        if ck != key:
+            store = {}
+            self._abucket_cache = (key, store)
+        hit = store.get((b, cap))
+        if hit is not None:
+            return hit
+        dtype = self.cfg.jnp_dtype
+        pos_p = np.zeros((cap, 3), np.int32)
+        flux_p = np.zeros(cap)
+        pos_p[:len(idx)] = srcpos_np[idx]
+        flux_p[:len(idx)] = nflux_np[idx]
+        fx = None
+        if have_x:
+            fxh = np.zeros(cap)
+            fxh[:len(idx)] = nfx_np[idx]
+            fx = jnp.asarray(fxh, dtype)
+        out = (jnp.asarray(pos_p), jnp.asarray(flux_p, dtype), fx)
+        store[(b, cap)] = out
+        return out
 
     def _promote(self, per_src, nflux_np, assign):
         """Escaping photons above loss_fraction of the source's output
@@ -687,6 +696,9 @@ class Evolve3D:
         nfx_np = np.asarray(nflux_xray, np.float64) if use_xray else None
         nfx = jnp.asarray(nflux_xray, dtype) if use_xray else None
         radius_assign = None             # adaptive subbox state (per step)
+        # the bucket-array cache is keyed by the assignment only — a new
+        # timestep (new catalog) must invalidate it
+        self._abucket_cache = (None, {})
         # auto: adaptive subbox radii for the many-source production regime
         # (evolve_source.F90:128-136; on request VERDICT r1 item 1)
         use_adaptive = (cfg.adaptive_sweep if cfg.adaptive_sweep is not None

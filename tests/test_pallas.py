@@ -103,3 +103,56 @@ def test_pallas_partial_radius():
     with pltpu.force_tpu_interpret_mode():
         out = compute_columns_pallas(cfg, ndhi_b, sc, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_grid_frame_march_matches_centered():
+    """compute_columns_pallas_grid (shared grid-frame views + in-kernel
+    recentering rotates, round 5) == compute_columns_pallas on centered
+    cubes, for arbitrary source positions including boundary wrap."""
+    from c2ray_tpu.ops.sweep import roll3
+    from c2ray_tpu.ops.sweep_pallas import compute_columns_pallas_grid
+
+    n = 16
+    c = n // 2
+    cfg = make_config(mesh=n, dtype="float32", use_lls=False,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(0), jnp.float32(0))
+    rng = np.random.default_rng(5)
+    ndhi = jnp.asarray((rng.uniform(0.2, 1.0, (n, n, n)) * 2e-4)
+                       .astype(np.float32))
+    pos = jnp.asarray([[3, 11, 7], [0, 0, 15], [8, 8, 8], [15, 1, 0]],
+                      jnp.int32)
+    cubes = jax.vmap(lambda p: roll3(ndhi, c - p))(pos)
+    with pltpu.force_tpu_interpret_mode():
+        ref = compute_columns_pallas(cfg, cubes, sc, c)
+        got = compute_columns_pallas_grid(cfg, ndhi, pos, sc, c)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_grid_frame_march_with_lls_grid():
+    """Grid-frame march with a type-2 LLS cube: the LLS face planes ride
+    the same shared views + recentering."""
+    from c2ray_tpu.ops.sweep import roll3
+    from c2ray_tpu.ops.sweep_pallas import compute_columns_pallas_grid
+
+    n = 16
+    c = n // 2
+    cfg = make_config(mesh=n, dtype="float32", use_lls=True, type_of_lls=2,
+                      cosmological=False)
+    dr = 2.9e24
+    sc = SweepScalars(jnp.float32(dr), jnp.float32(cfg.sed.s_star / dr**3),
+                      jnp.float32(0), jnp.float32(0))
+    rng = np.random.default_rng(6)
+    ndhi = jnp.asarray((rng.uniform(0.2, 1.0, (n, n, n)) * 2e-4)
+                       .astype(np.float32))
+    lls = jnp.asarray((rng.uniform(0.0, 1.0, (n, n, n)) * 1e16)
+                      .astype(np.float32))
+    pos = jnp.asarray([[2, 13, 5], [9, 0, 1]], jnp.int32)
+    cubes = jax.vmap(lambda p: roll3(ndhi, c - p))(pos)
+    lls_c = jax.vmap(lambda p: roll3(lls, c - p))(pos)
+    with pltpu.force_tpu_interpret_mode():
+        ref = compute_columns_pallas(cfg, cubes, sc, c, lls_cb=lls_c)
+        got = compute_columns_pallas_grid(cfg, ndhi, pos, sc, c, lls=lls)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -254,3 +254,36 @@ def test_timings_fidelity_forces_host_loop(tmp_path, monkeypatch):
         assert info.converged
         txt = open(str(tmp_path / f"Timings_{fidelity}.log")).read()
         assert txt.count("Time after iteration") >= info.niter
+
+
+def test_thermal_compaction_and_chunking_bitwise():
+    """Straggler compaction (thermal_compact) and slab chunking
+    (thermal_chunk) re-schedule the subcycle loop without changing a
+    single bit of the result (same substep closure, same per-cell
+    sequences; thermal.f90:98-159)."""
+    from c2ray_tpu.ops.thermal import setup_cool, thermal
+
+    cfg = test_problem_config(mesh=16, dtype="float64", isothermal=False)
+    cool = setup_cool(cfg)
+    rng = np.random.default_rng(0)
+    n = 16
+    import jax.numpy as jnp
+    t0 = jnp.asarray(rng.uniform(50.0, 3e4, (n, n, n)))
+    nd = jnp.asarray(rng.uniform(1e-5, 1e-3, (n, n, n)))
+    x1e = jnp.asarray(rng.uniform(0, 1, (n, n, n)))
+    x1a = jnp.asarray(rng.uniform(0, 1, (n, n, n)))
+    x1o = jnp.asarray(rng.uniform(0, 1, (n, n, n)))
+    heat = jnp.asarray(10.0 ** rng.uniform(-30, -22, (n, n, n)))
+    dt = 3e13
+
+    ref = thermal(cfg.replace(thermal_compact=False), cool, dt, t0, None,
+                  nd, x1e, x1a, x1o, heat, cosmo_cool_coeff=1e-18)
+    for variant in (cfg, cfg.replace(thermal_chunk=4),
+                    cfg.replace(thermal_chunk=4, thermal_compact=False)):
+        got = thermal(variant, cool, dt, t0, None, nd, x1e, x1a, x1o,
+                      heat, cosmo_cool_coeff=1e-18)
+        np.testing.assert_array_equal(np.asarray(ref.final_temperature),
+                                      np.asarray(got.final_temperature))
+        np.testing.assert_array_equal(
+            np.asarray(ref.average_temperature),
+            np.asarray(got.average_temperature))
