@@ -123,6 +123,11 @@ def full_step_bench(args):
     total_iters = int(np.sum(niters))
     per_iter = elapsed / max(total_iters, 1)
     rate = cfg.n_cells * total_iters / elapsed
+    # steady state: the last benched step's per-iteration wall — by then
+    # every rung/chunk program is compiled and the bucket-array cache is
+    # warm, so this is the sustained production figure (the average
+    # above amortizes one-time compiles; VERDICT r4 item 7)
+    steady_per_iter = times[-1] / max(niters[-1], 1)
 
     # phase breakdown: time the fused tail (chemistry + audit counts +
     # convergence sum — the program the solver loop actually runs) warm
@@ -153,11 +158,13 @@ def full_step_bench(args):
         "unit": "cell*conv_iters/s/chip",
         "vs_baseline": rate / REFERENCE_CORE_UPDATES_PER_S,
         "baseline": BASELINE_NOTE,
+        "steady_ms_per_conv_iter": round(steady_per_iter * 1e3, 1),
     }))
     print(f"# FULL STEP mesh={n}^3 sources={args.sources} "
           f"steps={args.iters} total_iters={total_iters} "
           f"step={elapsed/args.iters*1e3:.0f} ms "
           f"per_conv_iter={per_iter*1e3:.1f} ms "
+          f"steady={steady_per_iter*1e3:.1f} ms "
           f"fused_tail={chem_ms:.1f} ms counts={counts_ms:.1f} ms "
           f"compile+first_step={compile_s:.1f}s "
           f"mean_x={info.mean_xh1:.4f} "

@@ -152,7 +152,9 @@ class RunConfig:
     # not the coldest (bitwise-identical results);
     # thermal_chunk > 0 evaluates the subcycle loop in axis-0 slabs of
     # that many rows (bounds live-buffer sizes — the whole-grid 256^3
-    # non-isothermal program crashes the axon TPU worker)
+    # non-isothermal program crashes the axon TPU worker); 0 = auto
+    # (slab on TPU above the validated ~2M-cell whole-grid envelope),
+    # -1 = never chunk
     thermal_compact: bool = True
     thermal_chunk: int = 0
 

@@ -251,6 +251,26 @@ def thermal(cfg: RunConfig, cool: CoolingTable, dt,
     rows = cfg.thermal_chunk
     full = jnp.broadcast_to
     shape = initial_temperature.shape
+    if rows == 0 and len(shape) == 3:
+        # auto: on TPU, slab the subcycle program above the validated
+        # whole-grid envelope (the 128^3-class program is fine; the
+        # whole-grid 256^3 one crashes the axon worker).  Largest
+        # divisor of the x-extent keeping a slab <= ~4M cells (the
+        # hardware-validated 64-row 256^3 configuration).
+        ncell = int(np.prod(shape))
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and ncell > (1 << 21):
+            per = max(1, (1 << 22) // (shape[1] * shape[2]))
+            divs = [d for d in range(1, shape[0] + 1)
+                    if shape[0] % d == 0 and d <= per]
+            rows = divs[-1] if divs else 1
+            if rows >= shape[0]:
+                rows = 0
+    if rows < 0:
+        rows = 0
     if (rows and len(shape) == 3 and shape[0] > rows
             and shape[0] % rows == 0):
         k = shape[0] // rows

@@ -153,7 +153,38 @@ def main():
     tot += timed("unstage six", ph_unstage, planes, cdo0)
     tot += timed("rate pass", ph_rate, cdo_b, ndhi_cb, nflux)
     tot += timed("grid rolls + batch sum", ph_roll, res.phih, srcpos)
-    print(f"  {'SUM (separate programs)':34s} {tot:8.1f} ms")
+    print(f"  {'SUM (separate programs)':34f} ms"
+          if False else f"  {'SUM (separate programs)':34s} {tot:8.1f} ms")
+
+    # --- round-5 grid-frame path ----------------------------------------
+    from c2ray_tpu.ops.sweep_pallas import (compute_columns_pallas_grid,
+                                            consume_rates_pallas)
+
+    @jax.jit
+    def ph_ndhi(ndens, xh):
+        return neutral_density(cfg, ndens, xh)
+
+    @jax.jit
+    def ph_grid_march(ndhi, pos_b):
+        return compute_columns_pallas_grid(cfg, ndhi, pos_b, sc, d_sweep)
+
+    @jax.jit
+    def ph_consume(cdo_b, ndhi, pos_b, nflux):
+        return consume_rates_pallas(cfg, tables, cdo_b, ndhi, None,
+                                    pos_b, nflux, None, sc, d_sweep)
+
+    ndhi1 = ph_ndhi(ndens, xh)
+    cdo_g = ph_grid_march(ndhi1, srcpos)
+    out = ph_consume(cdo_g, ndhi1, srcpos, nflux)
+    jax.block_until_ready(out)
+    print("grid-frame path (round 5):")
+    tg = 0.0
+    tg += timed("neutral density", ph_ndhi, ndens, xh)
+    tg += timed("grid march (views+kernel+unstage)", ph_grid_march,
+                ndhi1, srcpos)
+    tg += timed("consume (rates+rolls+sum)", ph_consume, cdo_g, ndhi1,
+                srcpos, nflux)
+    print(f"  {'SUM grid-frame':34s} {tg:8.1f} ms")
 
 
 if __name__ == "__main__":

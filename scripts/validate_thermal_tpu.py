@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_one(platform: str, n: int, s: int, out_npz: str):
+def run_one(platform: str, n: int, s: int, out_npz: str,
+            thermal_chunk: int = 0):
     """Subprocess body: run one step on `platform`, save xh1/T grids."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -44,7 +45,8 @@ def run_one(platform: str, n: int, s: int, out_npz: str):
 
     cfg = test_problem_config(mesh=n, dtype=dtype, use_lls=False,
                               cosmological=False, isothermal=False,
-                              sweep_backend=backend, source_batch=s)
+                              sweep_backend=backend, source_batch=s,
+                              thermal_chunk=thermal_chunk)
     tables = build_rad_tables(cfg)
     solver = Evolve3D(cfg, tables, cool=setup_cool(cfg))
     rng = np.random.default_rng(42)
@@ -77,10 +79,15 @@ def main():
     ap.add_argument("--mesh", type=int, default=128)
     ap.add_argument("--sources", type=int, default=4)
     ap.add_argument("--worker", default=None)
+    ap.add_argument("--thermal-chunk", type=int, default=0,
+                    help="axis-0 rows per thermal slab (0 = whole grid; "
+                         "the 256^3 whole-grid non-iso program crashes "
+                         "the axon worker - chunking is the workaround)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.worker:
-        return run_one(args.worker, args.mesh, args.sources, args.out)
+        return run_one(args.worker, args.mesh, args.sources, args.out,
+                       args.thermal_chunk)
 
     here = os.path.abspath(__file__)
     outs = {}
@@ -90,6 +97,7 @@ def main():
         rc = subprocess.run([sys.executable, here, "--worker", plat,
                              "--mesh", str(args.mesh),
                              "--sources", str(args.sources),
+                             "--thermal-chunk", str(args.thermal_chunk),
                              "--out", out]).returncode
         assert rc == 0, f"{plat} worker failed"
 
