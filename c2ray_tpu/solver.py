@@ -828,8 +828,17 @@ class Evolve3D:
         # elapsed time each iteration, evolve.F90:272-273), run the
         # host-driven loop instead
         fidelity_ok = clocks is None or not cfg.timings_fidelity
+        # big NON-ISOTHERMAL steps stay on the host loop: on this
+        # platform some bright-flux evolved states kernel-fault the
+        # worker inside the non-iso tail (round-5 bisect,
+        # scripts/repro_noniso_256_crash.py — independent of the march
+        # backend, thermal slabbing, and host/device loop choice), and
+        # the host loop gives per-iteration dumps/Timings right up to a
+        # fault, which the single whole-timestep program cannot
+        noniso_ok = cfg.isothermal or cfg.mesh[0] <= 128
         if (cfg.on_device_loop and not use_adaptive and not verbose
-                and dump_ok and fidelity_ok and cfg.mesh[0] <= 512):
+                and dump_ok and fidelity_ok and noniso_ok
+                and cfg.mesh[0] <= 512):
             return self._evolve_device_loop(
                 cfg, state, ndens_proper, dr_proper, srcpos, nflux, nfx,
                 sc, clump, lls_grid, dt_dev, coeff_dev, dt, vol,
