@@ -384,7 +384,6 @@ class WindowedHaloSweeper:
         total = ndom * nsrc * L
         sb = max(1, cfg.source_batch)
         b = min(L, 1 << (sb.bit_length() - 1))
-        nbatch = L // b
         fwd = [(i, (i + 1) % ndom) for i in range(ndom)]
         bwd = [(i, (i - 1) % ndom) for i in range(ndom)]
 
@@ -407,7 +406,7 @@ class WindowedHaloSweeper:
             core = core.at[:r].add(recv_hi)
             return core
 
-        def local(ndens_s, xh_s, lls_s, pos, nf, nfx, sc):
+        def local(ndens_s, xh_s, lls_s, pos, nf, nfx, count, sc):
             d = lax.axis_index(dom_axis)
             dtype = ndens_s.dtype
             ext = halo_extend(neutral_density(cfg, ndens_s, xh_s))
@@ -425,23 +424,28 @@ class WindowedHaloSweeper:
                 acc_shape = (m + 2 * r, n + 2 * r, n + 2 * r)
             acc0 = jnp.zeros(acc_shape, dtype)
             hacc0 = acc0 if not iso else jnp.zeros((), dtype)
+            # dynamic trip count: slabs own different source counts —
+            # each device sweeps only its real batches, not the pow2
+            # capacity padding (counts arrive sharded per device)
+            nb = (count[0] + b - 1) // b
 
-            def one_batch(carry, inp):
-                acc, hacc, lo_t, ll_t = carry
-                pb, fb, xb = inp
-                acc, hacc, lo, ll, per = windowed_batch(
+            def body(ci, carry):
+                acc, hacc, lo_t, ll_t, per = carry
+                off = ci * b
+                pb = lax.dynamic_slice(pos_loc, (off, 0), (b, 3))
+                fb = lax.dynamic_slice(nf, (off,), (b,))
+                xb = lax.dynamic_slice(nfx, (off,), (b,))
+                acc, hacc, lo, ll, pw = windowed_batch(
                     cfg, tables, ext, lls_ext, pb, fb,
                     xb if have_x else None, sc, r, acc, hacc,
                     dma=dma, padded_acc=True)
-                return (acc, hacc, lo_t + lo, ll_t + ll), per
+                per = lax.dynamic_update_slice(per, pw, (off,))
+                return (acc, hacc, lo_t + lo, ll_t + ll, per)
 
-            carry0 = (acc0, hacc0, jnp.zeros((), dtype),
-                      jnp.zeros((), dtype))
-            (acc, hacc, loss, lls_loss), per = lax.scan(
-                one_batch, carry0,
-                (pos_loc.reshape(nbatch, b, 3), nf.reshape(nbatch, b),
-                 nfx.reshape(nbatch, b)))
-            per = per.reshape(-1)
+            zero = jnp.zeros((), dtype)
+            acc, hacc, loss, lls_loss, per = lax.fori_loop(
+                0, nb, body, (acc0, hacc0, zero, zero,
+                              jnp.zeros((L,), dtype)))
 
             phih = ring_fold(fold_padded_acc(acc, n, r, axes=(1, 2)))
             heat = (ring_fold(fold_padded_acc(hacc, n, r, axes=(1, 2)))
@@ -475,7 +479,7 @@ class WindowedHaloSweeper:
             local, mesh=self.mesh,
             in_specs=(dom_spec, dom_spec,
                       dom_spec if have_lls else rep,
-                      pos_spec, pos_spec, pos_spec, rep),
+                      pos_spec, pos_spec, pos_spec, pos_spec, rep),
             out_specs=(dom_spec, heat_spec, rep, rep, rep),
             check_vma=False))
         self._cache[key] = fn
@@ -508,6 +512,7 @@ class WindowedHaloSweeper:
         fx = np.zeros(total)
         have_x = nfx_np is not None
         flatpos = np.zeros(s, np.int64)
+        counts = np.zeros(self.ndom * nsrc, np.int32)
         for d, lst in slots.items():
             for k, j in enumerate(lst):
                 si = k % nsrc
@@ -518,12 +523,14 @@ class WindowedHaloSweeper:
                 if have_x:
                     fx[fp] = nfx_np[j]
                 flatpos[j] = fp
+                counts[d * nsrc + si] = max(counts[d * nsrc + si],
+                                            slot + 1)
         prog = self._program(cfg, tables, int(radius), L, have_x,
                              lls_grid is not None)
         lls = (lls_grid if lls_grid is not None
                else jnp.zeros((), dtype))
         phih, heat, loss, lls_loss, per_full = prog(
             ndens, xh_av, lls, jnp.asarray(pos), jnp.asarray(nf, dtype),
-            jnp.asarray(fx, dtype), sc)
+            jnp.asarray(fx, dtype), jnp.asarray(counts), sc)
         per_src = jnp.take(per_full, jnp.asarray(flatpos))
         return phih, heat, loss, lls_loss, per_src

@@ -144,12 +144,54 @@ class WindowedShardedSweeper:
             return fn
         axes = self.axes if len(self.axes) > 1 else self.axes[0]
         L = total // self.ndev
+        from ..ops.sweep import use_window_dma, windowed_batch, \
+            windowed_prepass
 
-        def local(ndens, xh_av1, pos, nf, nfx, sc, lls):
-            phih, heat, loss, lls_loss, per = raytrace_windowed(
-                cfg, tables, ndens, xh_av1, pos, nf, sc,
-                lls_grid=lls if have_lls else None, radius=radius,
-                nflux_xray=nfx if have_x else None)
+        def local(ndens, xh_av1, pos, nf, nfx, count, sc, lls):
+            n = cfg.mesh[0]
+            r = radius
+            dtype = ndens.dtype
+            dma = use_window_dma(cfg)
+            ndhi_pad, lls_pad = windowed_prepass(
+                cfg, ndens, xh_av1, lls if have_lls else None, r,
+                lane_margin=dma)
+            sb = max(1, cfg.source_batch)
+            b = min(L, 1 << (sb.bit_length() - 1))
+            # the per-device source arrays are padded to the pow2
+            # CAPACITY L (bounded compile set), but the batch loop runs
+            # only ceil(count/b) dynamic trips — padding slots beyond
+            # the last partial batch are never swept (a 10k bucket at
+            # capacity 16384 would otherwise waste ~60% of the pass)
+            nb = (count[0] + b - 1) // b
+            if dma:
+                from ..ops.window_pallas import (fold_padded_acc,
+                                                 padded_acc_shape)
+                acc0 = jnp.zeros(padded_acc_shape(n, r), dtype)
+            else:
+                acc0 = jnp.zeros((n, n, n), dtype)
+            hacc0 = acc0 if not iso else jnp.zeros((), dtype)
+
+            def body(ci, carry):
+                acc, hacc, lo_t, ll_t, per = carry
+                off = ci * b
+                pb = lax.dynamic_slice(pos, (off, 0), (b, 3))
+                fb = lax.dynamic_slice(nf, (off,), (b,))
+                xb = lax.dynamic_slice(nfx, (off,), (b,))
+                acc, hacc, lo, ll, pw = windowed_batch(
+                    cfg, tables, ndhi_pad, lls_pad, pb, fb,
+                    xb if have_x else None, sc, r, acc, hacc, dma=dma)
+                per = lax.dynamic_update_slice(per, pw, (off,))
+                return (acc, hacc, lo_t + lo, ll_t + ll, per)
+
+            zero = jnp.zeros((), dtype)
+            acc, hacc, loss, lls_loss, per = lax.fori_loop(
+                0, nb, body, (acc0, hacc0, zero, zero,
+                              jnp.zeros((L,), dtype)))
+            if dma:
+                phih = fold_padded_acc(acc, n, r)
+                heat = (fold_padded_acc(hacc, n, r) if not iso else hacc)
+            else:
+                phih, heat = acc, hacc
             # MPI_ALLREDUCE(SUM) analogue, one per bucket
             phih = lax.psum(phih, axes)
             if not iso:
@@ -171,7 +213,7 @@ class WindowedShardedSweeper:
         heat_spec = self.out_spec if not iso else rep
         fn = jax.jit(jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(rep, rep, shard, shard, shard, rep, rep),
+            in_specs=(rep, rep, shard, shard, shard, shard, rep, rep),
             out_specs=(self.out_spec, heat_spec, rep, rep, rep),
             check_vma=False))
         self._cache[key] = fn
@@ -183,7 +225,7 @@ class WindowedShardedSweeper:
         lls_loss, per_src) with per_src[:len(pos_np)] in bucket order."""
         s = len(nf_np)
         L = -(-s // self.ndev)
-        L = 1 << (L - 1).bit_length()     # pow2: bounded compile set
+        L = 1 << (L - 1).bit_length()     # pow2 CAPACITY: bounded compiles
         total = self.ndev * L
         dtype = cfg.jnp_dtype
         pos = np.zeros((total, 3), np.int32)
@@ -194,9 +236,13 @@ class WindowedShardedSweeper:
         fx = np.zeros(total)
         if have_x:
             fx[:s] = nfx_np
+        # real sources per device block (the batch loops run only over
+        # these; capacity padding is never swept)
+        counts = np.clip(s - L * np.arange(self.ndev), 0, L).astype(
+            np.int32)
         prog = self._program(cfg, tables, int(radius), total, have_x,
                              lls_grid is not None, cfg.isothermal)
         lls = (lls_grid if lls_grid is not None
                else jnp.zeros((), dtype))
         return prog(ndens, xh_av, jnp.asarray(pos), jnp.asarray(nf, dtype),
-                    jnp.asarray(fx, dtype), sc, lls)
+                    jnp.asarray(fx, dtype), jnp.asarray(counts), sc, lls)
