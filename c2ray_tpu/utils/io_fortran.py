@@ -20,8 +20,25 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+# gfortran splits unformatted sequential records larger than this into
+# SUBRECORDS: the leading marker of every subrecord but the last is the
+# NEGATIVE of its length (record continues), and the trailing marker of
+# every subrecord but the first is negative (record continues backward).
+# Production cubes exceed 2 GiB (864^3 f64 = 5.2 GB), so the reference's
+# own gfortran-written files use this framing — reproduced here.
+_SUBRECORD_MAX = 2147483639
+
+
+def _sub_lengths(total: int) -> List[int]:
+    if total <= _SUBRECORD_MAX:
+        return [total]
+    k, rem = divmod(total, _SUBRECORD_MAX)
+    return [_SUBRECORD_MAX] * k + ([rem] if rem else [])
+
+
 def read_unformatted_records(path: str) -> List[bytes]:
-    """Read all records of a Fortran unformatted sequential file."""
+    """Read all records of a Fortran unformatted sequential file
+    (subrecord continuation markers included)."""
     out = []
     with open(path, "rb") as f:
         while True:
@@ -29,21 +46,34 @@ def read_unformatted_records(path: str) -> List[bytes]:
             if len(head) < 4:
                 break
             (n,) = struct.unpack("<i", head)
-            payload = f.read(n)
-            tail = f.read(4)
-            if len(payload) != n or struct.unpack("<i", tail)[0] != n:
-                raise IOError(f"corrupt Fortran record in {path}")
-            out.append(payload)
+            parts = []
+            while True:
+                sub = abs(n)
+                payload = f.read(sub)
+                tail = f.read(4)
+                if len(payload) != sub or \
+                        abs(struct.unpack("<i", tail)[0]) != sub:
+                    raise IOError(f"corrupt Fortran record in {path}")
+                parts.append(payload)
+                if n >= 0:          # last (or only) subrecord
+                    break
+                (n,) = struct.unpack("<i", f.read(4))
+            out.append(b"".join(parts))
     return out
 
 
 def write_unformatted_records(path: str, records: List[bytes]) -> None:
     with open(path, "wb") as f:
         for payload in records:
-            marker = struct.pack("<i", len(payload))
-            f.write(marker)
-            f.write(payload)
-            f.write(marker)
+            subs = _sub_lengths(len(payload))
+            off = 0
+            for i, sub in enumerate(subs):
+                lead = sub if i == len(subs) - 1 else -sub
+                trail = sub if i == 0 else -sub
+                f.write(struct.pack("<i", lead))
+                f.write(payload[off:off + sub])
+                f.write(struct.pack("<i", trail))
+                off += sub
 
 
 def write_sm3d(path: str, array: np.ndarray, dtype=np.float64) -> None:
@@ -81,8 +111,35 @@ def read_sm3d_slab(path: str, dtype, mesh: Tuple[int, int, int],
         if tuple(m) != tuple(mesh):
             raise ValueError(f"{path}: mesh {tuple(m)} != expected {mesh}")
         f.read(4)
-        f.read(4)                      # data record marker
+        (lead,) = struct.unpack("<i", f.read(4))   # data record marker
         data_off = f.tell()
+        if lead < 0:
+            # > 2 GiB data record: gfortran subrecord markers interrupt
+            # the payload, so the flat memmap view does not exist.
+            # Stream logical z-planes (contiguous in Fortran order)
+            # through a marker-stripping reader and keep the slab rows —
+            # one plane resident, full-file read (restart path only).
+            n1, n2, n3 = mesh
+            itemsize = np.dtype(dtype).itemsize
+            plane = n1 * n2 * itemsize
+            out = np.empty((nrows, n2, n3), dtype)
+            remaining = abs(lead)
+            for k in range(n3):
+                need = plane
+                parts = []
+                while need:
+                    if remaining == 0:
+                        f.read(4)                   # trailing marker
+                        (nxt,) = struct.unpack("<i", f.read(4))
+                        remaining = abs(nxt)
+                    take = min(need, remaining)
+                    parts.append(f.read(take))
+                    need -= take
+                    remaining -= take
+                pl = np.frombuffer(b"".join(parts), dtype).reshape(
+                    (n1, n2), order="F")
+                out[:, :, k] = pl[row0:row0 + nrows]
+            return out
     mm = np.memmap(path, dtype=dtype, mode="r", offset=data_off,
                    shape=tuple(mesh), order="F")
     return np.ascontiguousarray(mm[row0:row0 + nrows])
@@ -117,19 +174,37 @@ def write_sm3d_stream(path: str, mesh: Tuple[int, int, int], dtype,
     itemsize = np.dtype(dtype).itemsize
     total = n1 * n2 * n3 * itemsize
     header = np.asarray(mesh, np.int32).tobytes()
+    subs = _sub_lengths(total)
     with open(path, "wb") as f:
         f.write(struct.pack("<i", len(header)))
         f.write(header)
         f.write(struct.pack("<i", len(header)))
-        f.write(struct.pack("<i", total))
+        # data record, split into gfortran subrecords past 2 GiB; the
+        # incoming z-blocks are emitted across subrecord boundaries
+        si = 0
+        remaining = subs[0]
+        f.write(struct.pack("<i", subs[0] if len(subs) == 1 else -subs[0]))
         written = 0
         for b in blocks:
             chunk = np.asarray(b, dtype).tobytes(order="F")
-            f.write(chunk)
             written += len(chunk)
+            view = memoryview(chunk)
+            while view:
+                take = min(remaining, len(view))
+                f.write(view[:take])
+                view = view[take:]
+                remaining -= take
+                if remaining == 0 and si < len(subs) - 1:
+                    f.write(struct.pack(
+                        "<i", subs[si] if si == 0 else -subs[si]))
+                    si += 1
+                    remaining = subs[si]
+                    f.write(struct.pack(
+                        "<i", subs[si] if si == len(subs) - 1
+                        else -subs[si]))
         if written != total:
             raise IOError(f"{path}: wrote {written} bytes, expected {total}")
-        f.write(struct.pack("<i", total))
+        f.write(struct.pack("<i", subs[-1] if si == 0 else -subs[-1]))
 
 
 def read_stream_cube(path: str, mesh: Tuple[int, int, int],
