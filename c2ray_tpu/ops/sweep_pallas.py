@@ -714,23 +714,28 @@ def _kernel_consume(sref, params_ref, *rest, cfg: RunConfig, n: int, b: int,
         tau_in, dtau, a_t, w_t, hw_t, tau_pre, dtau_pre, has_heat)
     phi_in = nf * phi_in
     phi_cell = nf * phi_cell
+    # ONE VPU divide per cell (divides were ~15% of the kernel, round-5
+    # ablations): 1/(vol*ndhi) serves the gamma normalization directly
+    # and recovers 1/vol with a multiply (ndhi is epsilon-floored by
+    # neutral_density, so the product never divides by zero)
+    inv_volnd = 1.0 / (vol_ph * ndhi)
+    inv_vol = inv_volnd * ndhi
     if has_heat:
-        heat_v = nf * heat_acc / vol_ph
-    lls_cell = (nf * lls_acc / vol_ph) if want_lls else None
+        heat_v = nf * heat_acc * inv_vol
+    lls_cell = (nf * lls_acc * inv_vol) if want_lls else None
     if use_xray:
         xpi, xpc, xha, xla_ = _mix_terms(
             tau_in, dtau, xa_t, xw_t, xhw_t, tau_pre, dtau_pre, has_heat)
         phi_in = phi_in + nfx * xpi
         phi_cell = phi_cell + nfx * xpc
         if has_heat:
-            heat_v = heat_v + nfx * xha / vol_ph
+            heat_v = heat_v + nfx * xha * inv_vol
         if want_lls:
-            lls_cell = lls_cell + nfx * xla_ / vol_ph
+            lls_cell = lls_cell + nfx * xla_ * inv_vol
     phi_out = phi_in - phi_cell
-    photo_cell = phi_cell / vol_ph
 
     live = active & ~stop
-    gamma = jnp.where(live, photo_cell * rate_scale / ndhi, 0.0)
+    gamma = jnp.where(live, phi_cell * rate_scale * inv_volnd, 0.0)
 
     @pl.when(bi == 0)
     def _():
@@ -756,8 +761,19 @@ def _kernel_consume(sref, params_ref, *rest, cfg: RunConfig, n: int, b: int,
     q_lim = min(max_shell, c)
     bnd = ((oi == p_lim) | (oi == -q_lim) | (oj == p_lim) | (oj == -q_lim)
            | (ok == p_lim) | (ok == -q_lim))
-    loss_i = jnp.sum(jnp.where(live & bnd, phi_out / vol_ph, 0.0))
-    lls_i = (jnp.sum(jnp.where(live, lls_cell, 0.0)) if want_lls
+
+    def _plane_sum(v):
+        # (n,n) -> scalar via an MXU contraction: the VPU cross-lane
+        # tree reduce of jnp.sum was ~15% of the kernel (round-5
+        # ablations); terms are nonnegative so the reorder is benign
+        # (~log(n)*eps relative, gates at 2e-5)
+        row = lax.dot_general(jnp.ones((1, n), v.dtype), v,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=v.dtype)
+        return jnp.sum(row)
+
+    loss_i = _plane_sum(jnp.where(live & bnd, phi_out * inv_vol, 0.0))
+    lls_i = (_plane_sum(jnp.where(live, lls_cell, 0.0)) if want_lls
              else jnp.zeros((), dtype))
 
     @pl.when(i == 0)

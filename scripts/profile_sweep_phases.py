@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--sources", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--grid-only", action="store_true",
+                    help="skip the old centered-path phases (whose "
+                         "materialized phase boundaries OOM at b=16)")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +128,10 @@ def main():
         return jnp.sum(ph, axis=0)
 
     # --- run -------------------------------------------------------------
+    if args.grid_only:
+        _grid_section(args, cfg, tables, sc, ndens, xh, srcpos, nflux,
+                      d_sweep)
+        return
     ndhi_cb = ph_center(ndens, xh, srcpos)
     cdo0 = ndhi_cb[:, c, c, c] * (0.5 * sc.dr)
     faces6 = ph_views(ndhi_cb)
@@ -157,6 +164,13 @@ def main():
           if False else f"  {'SUM (separate programs)':34s} {tot:8.1f} ms")
 
     # --- round-5 grid-frame path ----------------------------------------
+    _grid_section(args, cfg, tables, sc, ndens, xh, srcpos, nflux, d_sweep)
+
+
+def _grid_section(args, cfg, tables, sc, ndens, xh, srcpos, nflux, d_sweep):
+    import jax
+    import time
+    from c2ray_tpu.ops.sweep import neutral_density
     from c2ray_tpu.ops.sweep_pallas import (compute_columns_pallas_grid,
                                             consume_rates_pallas)
 
@@ -172,6 +186,16 @@ def main():
     def ph_consume(cdo_b, ndhi, pos_b, nflux):
         return consume_rates_pallas(cfg, tables, cdo_b, ndhi, None,
                                     pos_b, nflux, None, sc, d_sweep)
+
+    def timed(name, fn, *xs):
+        jax.block_until_ready(fn(*xs))
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = fn(*xs)
+        jax.block_until_ready(r)
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(f"  {name:34s} {ms:8.1f} ms")
+        return ms
 
     ndhi1 = ph_ndhi(ndens, xh)
     cdo_g = ph_grid_march(ndhi1, srcpos)
