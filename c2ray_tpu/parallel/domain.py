@@ -432,7 +432,11 @@ class WindowedHaloSweeper:
             def body(ci, carry):
                 acc, hacc, lo_t, ll_t, per = carry
                 off = ci * b
-                pb = lax.dynamic_slice(pos_loc, (off, 0), (b, 3))
+                # matching index dtypes (python 0 promotes to int64
+                # under jax_enable_x64; the fori counter is int32)
+                pb = lax.dynamic_slice(pos_loc,
+                                       (off, jnp.zeros((), off.dtype)),
+                                       (b, 3))
                 fb = lax.dynamic_slice(nf, (off,), (b,))
                 xb = lax.dynamic_slice(nfx, (off,), (b,))
                 acc, hacc, lo, ll, pw = windowed_batch(

@@ -174,7 +174,10 @@ class WindowedShardedSweeper:
             def body(ci, carry):
                 acc, hacc, lo_t, ll_t, per = carry
                 off = ci * b
-                pb = lax.dynamic_slice(pos, (off, 0), (b, 3))
+                # index dtypes must match under jax_enable_x64 (a python
+                # 0 promotes to int64 while the fori counter is int32)
+                pb = lax.dynamic_slice(pos, (off, jnp.zeros((), off.dtype)),
+                                       (b, 3))
                 fb = lax.dynamic_slice(nf, (off,), (b,))
                 xb = lax.dynamic_slice(nfx, (off,), (b,))
                 acc, hacc, lo, ll, pw = windowed_batch(

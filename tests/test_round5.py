@@ -9,14 +9,15 @@ import pytest
 import jax
 
 from c2ray_tpu import (Evolve3D, initial_state, proper_fields,
-                       test_problem_config, uniform_material)
+                       uniform_material)
+from c2ray_tpu import test_problem_config as make_config
 from c2ray_tpu import constants as const
 from c2ray_tpu.cosmology import CosmoClock
 from c2ray_tpu.ops.tables import build_rad_tables
 
 
 def _setup(S=24, mesh=32):
-    cfg = test_problem_config(mesh=mesh, dtype="float64", use_lls=False)
+    cfg = make_config(mesh=mesh, dtype="float64", use_lls=False)
     cfg = cfg.replace(adaptive_sweep=True, source_batch=8,
                       adaptive_min_shell=4)
     tabs = build_rad_tables(cfg)
@@ -113,7 +114,7 @@ def test_windowed_sharded_driver_layouts(tmp_path):
     lum = rng.uniform(2e55, 4e56, S)
 
     def run(tag, layout=None):
-        cfg = test_problem_config(mesh=mesh, dtype="float64", use_lls=False)
+        cfg = make_config(mesh=mesh, dtype="float64", use_lls=False)
         cfg = cfg.replace(adaptive_sweep=True, source_batch=8,
                           adaptive_min_shell=4)
         d = tmp_path / tag
@@ -168,7 +169,7 @@ def test_halo_layout_percell_models(tmp_path, clump_t, lls_t):
 
     def run(tag, layout=None):
         rng = np.random.default_rng(11)   # same cubes for both runs
-        cfg = test_problem_config(mesh=mesh, dtype="float64",
+        cfg = make_config(mesh=mesh, dtype="float64",
                                   use_lls=(lls_t == 2))
         cfg = cfg.replace(type_of_clumping=clump_t, type_of_lls=lls_t,
                           lls_model=1)
@@ -226,7 +227,7 @@ def test_timings_fidelity_forces_host_loop(tmp_path, monkeypatch):
     reference stamps elapsed time each iteration, evolve.F90:272-273)."""
     from c2ray_tpu.utils.clocks import Clocks
 
-    cfg0 = test_problem_config(mesh=16, dtype="float64", use_lls=False)
+    cfg0 = make_config(mesh=16, dtype="float64", use_lls=False)
     tabs = build_rad_tables(cfg0)
     src = np.array([[8, 8, 8]], np.int32)
     nflux = np.array([1e9])
@@ -263,7 +264,7 @@ def test_thermal_compaction_and_chunking_bitwise():
     sequences; thermal.f90:98-159)."""
     from c2ray_tpu.ops.thermal import setup_cool, thermal
 
-    cfg = test_problem_config(mesh=16, dtype="float64", isothermal=False)
+    cfg = make_config(mesh=16, dtype="float64", isothermal=False)
     cool = setup_cool(cfg)
     rng = np.random.default_rng(0)
     n = 16
