@@ -762,18 +762,12 @@ def _kernel_consume(sref, params_ref, *rest, cfg: RunConfig, n: int, b: int,
     bnd = ((oi == p_lim) | (oi == -q_lim) | (oj == p_lim) | (oj == -q_lim)
            | (ok == p_lim) | (ok == -q_lim))
 
-    def _plane_sum(v):
-        # (n,n) -> scalar via an MXU contraction: the VPU cross-lane
-        # tree reduce of jnp.sum was ~15% of the kernel (round-5
-        # ablations); terms are nonnegative so the reorder is benign
-        # (~log(n)*eps relative, gates at 2e-5)
-        row = lax.dot_general(jnp.ones((1, n), v.dtype), v,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=v.dtype)
-        return jnp.sum(row)
-
-    loss_i = _plane_sum(jnp.where(live & bnd, phi_out * inv_vol, 0.0))
-    lls_i = (_plane_sum(jnp.where(live, lls_cell, 0.0)) if want_lls
+    # plain VPU reduces: an MXU ones-dot contraction was tried and
+    # REVERTED — the TPU decomposes f32 matmuls into bf16 passes, which
+    # put the LLS tally 2e-4 off the XLA reference (validate_tpu gates
+    # at 1e-5) for no measured speedup
+    loss_i = jnp.sum(jnp.where(live & bnd, phi_out * inv_vol, 0.0))
+    lls_i = (jnp.sum(jnp.where(live, lls_cell, 0.0)) if want_lls
              else jnp.zeros((), dtype))
 
     @pl.when(i == 0)
