@@ -794,11 +794,13 @@ def consume_available(cfg: RunConfig, tables, nflux_xray) -> bool:
     n = cfg.mesh[0]
     f32 = cfg.jnp_dtype == jnp.float32
     expsum = cfg.rate_eval == "expsum" or (cfg.rate_eval == "auto" and f32)
-    # isothermal only: the has_heat variant (a second accumulated cube
-    # output) hard-crashed the TPU worker at 256^3 in round 4 - the
-    # non-isothermal rate deposition stays on the validated XLA tail
-    # until that is root-caused
-    return (cfg.sweep_backend == "pallas" and expsum and cfg.isothermal
+    # has_heat (round 5): the round-4 "heat variant crashes at 256^3"
+    # was root-caused by the round-5 bisect matrix to the non-iso TAIL
+    # (thermal program), independent of the deposition path
+    # (scripts/repro_noniso_256_crash.py) - the fused heat deposition
+    # itself validates on hardware (validate_thermal_tpu), so the gate
+    # is per-path no longer
+    return (cfg.sweep_backend == "pallas" and expsum
             and n % 256 == 0 and n <= 600
             and _mixture_consts(cfg, tables) is not None)
 
