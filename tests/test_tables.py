@@ -92,6 +92,83 @@ class TestTables:
         assert numeric == pytest.approx(mid, rel=0.05)
 
 
+class TestMixtureRefinement:
+    """Round-5 node-refined exponential mixture (_refine_mixture_nodes):
+    fewer terms than the NNLS fit at <= its max weighted relative error,
+    exact photon-count normalization preserved."""
+
+    def _targets(self, cfg, t):
+        from c2ray_tpu import constants as const
+        from c2ray_tpu.ops.romberg import romberg_weights
+        from c2ray_tpu.ops.tables import _bb_sed_photon, sed_properties
+        props = sed_properties(cfg)
+        freq_min = max(const.ION_FREQ_HI, cfg.sed.min_freq)
+        n = cfg.num_freq
+        freq = np.linspace(freq_min, cfg.sed.max_freq, n + 1)
+        h = (cfg.sed.max_freq - freq_min) / n
+        sed_vals = _bb_sed_photon(freq, props.h_over_kt, props.r_star**2)
+        ahat = (freq / freq_min) ** (-cfg.pl_index_cross_section_hi)
+        wq = romberg_weights(n) * h * sed_vals
+        taus = np.concatenate([[0.0],
+                               np.geomspace(1e-6, 3.0 / ahat.min(), 240)])
+        target = (wq[None, :] * np.exp(-np.outer(taus, ahat))).sum(axis=1)
+        return taus, target
+
+    def test_refined_fit_beats_nnls_with_fewer_terms(self):
+        from c2ray_tpu.ops.tables import _fit_exp_mixture
+        from c2ray_tpu.ops import tables as T
+        from c2ray_tpu import constants as const
+        from c2ray_tpu.ops.romberg import romberg_weights
+        cfg = cfg64()
+        t = build_rad_tables(cfg)
+        a = np.asarray(t.exp_a)
+        w = np.asarray(t.exp_w)
+        # NNLS baseline on the same inputs
+        props = T.sed_properties(cfg)
+        freq_min = max(const.ION_FREQ_HI, cfg.sed.min_freq)
+        n = cfg.num_freq
+        freq = np.linspace(freq_min, cfg.sed.max_freq, n + 1)
+        h = (cfg.sed.max_freq - freq_min) / n
+        sed_vals = T._bb_sed_photon(freq, props.h_over_kt, props.r_star**2)
+        ahat = (freq / freq_min) ** (-cfg.pl_index_cross_section_hi)
+        wq = romberg_weights(n) * h * sed_vals
+        a0, w0 = _fit_exp_mixture(wq, ahat, k=cfg.num_exp_terms)
+        live = int((w0 != 0).sum())
+        assert len(a) < live, (len(a), live)
+
+        taus, target = self._targets(cfg, t)
+        row_w = 1.0 / np.maximum(np.abs(target), 1e-7 * abs(target[0]))
+
+        def err(ak, wk):
+            fit = (wk[None, :] * np.exp(-np.outer(taus, ak))).sum(axis=1)
+            return np.max(np.abs(fit - target) * row_w)
+
+        # shipped (refined) error must not exceed the NNLS error, and the
+        # mixture's normalization ratio is tied to S_star units; tau=0
+        # photon count matches the quadrature exactly
+        assert err(a, w * target[0] / w.sum()) <= err(a0, w0) + 1e-12
+
+    def test_refined_mixture_tau_zero_normalization(self):
+        """sum(w_k) equals the thick table at tau=0 (both in S_star
+        units): photon-count exactness survives the refinement."""
+        cfg = cfg64()
+        t = build_rad_tables(cfg)
+        assert float(np.asarray(t.exp_w).sum()) == pytest.approx(
+            float(t.photo_thick[0]), rel=1e-9)
+
+    def test_heat_gate_non_isothermal(self):
+        """With heating built, the shared-basis heat weights exist for
+        every term and the term count still shrinks vs the NNLS live
+        set (or falls back without error)."""
+        cfg = cfg64(isothermal=False)
+        t = build_rad_tables(cfg)
+        a = np.asarray(t.exp_a)
+        hw = np.asarray(t.heat_exp_w)
+        assert hw.shape == a.shape
+        assert np.all(hw >= 0.0)
+        assert len(a) <= cfg.num_exp_terms
+
+
 class TestLookup:
     def test_interior_interpolation(self):
         cfg = cfg64(grey=True)
